@@ -1,0 +1,103 @@
+"""Headline benchmark: full Shampoo optimizer step vs the upstream reference.
+
+Measures the wall-clock of one complete distributed-Shampoo update (stats
+EMA + batched inverse-pth-roots + grafted/preconditioned transform) on a
+transformer-shaped parameter tree with block_size 128, preconditioning every
+step (the hardest case), on whatever backend is available (TPU under the
+driver).  The same fixture is run through google-research/precondition's
+`distributed_shampoo` as the baseline; ``vs_baseline`` is the speedup
+(baseline_time / our_time, >1 means faster).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _param_tree(rng):
+  """Transformer-ish tree: ~17M params, mixes blocked and small tensors."""
+  d, ff, vocab, layers = 1024, 4096, 8192, 4
+  tree = {"embed": jnp.asarray(rng.randn(vocab, d) * 0.02, jnp.float32)}
+  for i in range(layers):
+    tree[f"blk{i}"] = {
+        "qkv": jnp.asarray(rng.randn(d, 3 * d) * 0.02, jnp.float32),
+        "out": jnp.asarray(rng.randn(d, d) * 0.02, jnp.float32),
+        "ffn_in": jnp.asarray(rng.randn(d, ff) * 0.02, jnp.float32),
+        "ffn_out": jnp.asarray(rng.randn(ff, d) * 0.02, jnp.float32),
+        "norm": jnp.asarray(np.ones(d), jnp.float32),
+    }
+  return tree
+
+
+HYPERS = dict(
+    learning_rate=0.1,
+    block_size=128,
+    beta1=0.9,
+    beta2=0.999,
+    matrix_epsilon=1e-6,
+    start_preconditioning_step=0,
+    preconditioning_compute_steps=1,
+    statistics_compute_steps=1,
+)
+
+
+def _time_update(tx, params, grads, graft_kwargs, iters=8):
+  state = tx.init(params)
+  update = jax.jit(tx.update)
+  # Warm up: compile + first step.
+  updates, state = update(grads, state, params)
+  jax.block_until_ready(updates)
+  start = time.perf_counter()
+  for _ in range(iters):
+    updates, state = update(grads, state, params)
+  jax.block_until_ready(updates)
+  return (time.perf_counter() - start) / iters
+
+
+def main():
+  rng = np.random.RandomState(0)
+  params = _param_tree(rng)
+  grads = jax.tree.map(
+      lambda p: jnp.asarray(rng.randn(*p.shape) * 0.01, jnp.float32), params)
+
+  from precondition_tpu.optim import shampoo as ours
+
+  ours_tx = ours.distributed_shampoo(
+      **HYPERS, graft_type=ours.GraftingType.RMSPROP)
+  ours_time = _time_update(ours_tx, params, grads, {})
+
+  baseline_time = None
+  try:
+    ref_path = "/root/reference"
+    if os.path.isdir(ref_path) and ref_path not in sys.path:
+      sys.path.append(ref_path)
+    sys.dont_write_bytecode = True
+    from precondition import distributed_shampoo as ref
+
+    ref_tx = ref.distributed_shampoo(
+        **HYPERS, graft_type=ref.GraftingType.RMSPROP,
+        generate_training_metrics=False)
+    baseline_time = _time_update(ref_tx, params, grads, {})
+  except Exception:
+    baseline_time = None
+
+  result = {
+      "metric": "shampoo_step_time_17M_block128",
+      "value": round(ours_time * 1e3, 3),
+      "unit": "ms",
+      "vs_baseline": (round(baseline_time / ours_time, 3)
+                      if baseline_time else None),
+  }
+  print(json.dumps(result))
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,597 @@
+"""Distributed Shampoo, TPU-native.
+
+Second-order preconditioning (Gupta, Koren, Singer; Anil et al.,
+arXiv:2002.09018): for each parameter block ``G`` keep Kronecker-factor
+statistics ``L += G G^T`` / ``R += G^T G`` per axis, and precondition with
+``L^{-1/2p} G R^{-1/2p}`` where ``p`` is the number of preconditioned axes.
+
+Capability parity with the reference's flagship optimizer
+(`/root/reference/precondition/distributed_shampoo.py:1849-3675`): blocked
+statistics with dim merging, coupled-Newton/eigh inverse roots with failure
+fallback (keep the stale preconditioner when the solve errors), grafting
+(SGD/AdaGrad/RMSProp(+normalized)/sign), warmup switch at
+``start_preconditioning_step``, Nesterov momentum, decoupled lr/wd, update
+frequency gating, and per-preconditioner training metrics.
+
+TPU-first design (deliberately NOT the reference's architecture):
+
+* **One mode, not three.**  The reference maintains separate pmap,
+  pmap-quantized, and pjit code paths (~2,800 LoC).  Here there is a single
+  functional update; distribution is layered on top of the same batched root
+  solve: ``batch_axis_name`` splits the solve round-robin across a mapped
+  axis (pmap/shard_map) with an `all_gather` of the results over ICI, while
+  ``statistics_partition_spec``/``preconditioner_partition_spec`` shard the
+  stacked solve under jit+Mesh via sharding constraints.  On one chip both
+  reduce to a plain vmap.
+* **Static plans.**  Block partitioning and exponents are derived from
+  static shapes once per parameter (cached) — traced code never re-derives
+  shape metadata.
+* The batched inverse root is one ``[N, m, m]`` vmap — the unit the Pallas
+  kernels in `precondition_tpu.ops.pallas` accelerate.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+import itertools
+from typing import Any, Callable, List, NamedTuple, Optional, Union
+
+import jax
+from jax import lax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from precondition_tpu.ops import pth_root
+from precondition_tpu.ops.pth_root import RootMetrics
+from precondition_tpu.utils import shapes as shape_utils
+from precondition_tpu.utils.control import lazy_cond, tree_lazy_cond
+from precondition_tpu.utils.quantization import QuantizedValue
+
+Array = jax.Array
+_EPSILON = 1e-25
+
+
+class GraftingType(enum.IntEnum):
+  """Which first-order method supplies the per-layer step size."""
+  NONE = 0
+  SGD = 1
+  ADAGRAD = 2
+  RMSPROP = 3
+  RMSPROP_NORMALIZED = 4
+  SQRT_N = 5
+  ADAGRAD_NORMALIZED = 6
+
+
+class PreconditionerType(enum.IntEnum):
+  """Which axes get Kronecker factors."""
+  ALL = 1
+  INPUT = 2   # one-sided: all but the last (output) dim
+  OUTPUT = 3  # one-sided: only the last dim
+
+
+class ParameterStats(NamedTuple):
+  """Per-parameter Shampoo state."""
+  diagonal_statistics: Any        # grafting accumulator ([] if unused)
+  statistics: List[Any]           # per block x axis [d, d] Kronecker factors
+  preconditioners: List[Any]      # matching inverse roots
+  diagonal_momentum: Any          # momentum of the grafting direction
+  momentum: Any                   # momentum of the preconditioned direction
+  training_metrics: Union[RootMetrics, optax.MaskedNode]
+
+
+class ShampooState(NamedTuple):
+  count: Array
+  stats: Any
+
+
+def preconditioning_compute_steps_schedule(
+    lr_fn, start_steps, end_steps, step):
+  """Stretch the root-recompute interval as the learning rate decays.
+
+  Early in training statistics move fast and roots must be fresh; late in
+  training they barely change, so recompute less often.  Interval follows
+  ``start + (1 - lr(step)/lr(0)) * end``, rounded down to a multiple of 10
+  (parity: `distributed_shampoo.py:44-76`).
+  """
+  decay_factor = lr_fn(step) / lr_fn(0)
+  t = start_steps + (1 - decay_factor) * end_steps
+  return jnp.maximum((t // 10) * 10, 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_plan(shape, block_size, merge_block_size, best_effort,
+                precond_type):
+  """Static per-shape plan: merged shape, partitioner, preconditioned axes."""
+  transformed = (list(shape) if not best_effort
+                 else shape_utils.merge_small_dims(shape, merge_block_size))
+  partitioner = shape_utils.BlockPartitioner(transformed, block_size)
+  rank = len(partitioner.split_sizes())
+  if precond_type == PreconditionerType.ALL or rank <= 1:
+    precond_dims = [True] * rank
+  elif precond_type == PreconditionerType.INPUT:
+    precond_dims = [True] * (rank - 1) + [False]
+  else:  # OUTPUT
+    precond_dims = [False] * (rank - 1) + [True]
+  return transformed, partitioner, precond_dims
+
+
+class Preconditioner:
+  """Per-parameter blocked Kronecker-factor engine.
+
+  Built once from a static shape; emits the statistics contraction, the
+  preconditioning contraction, and the shape/exponent metadata the solver
+  layer needs.  Parity: `distributed_shampoo.py:1508-1708`.
+  """
+
+  def __init__(self, param, block_size, merge_small_dims_block_size,
+               best_effort_shape_interpretation,
+               preconditioner_type=PreconditionerType.ALL):
+    self._original_shape = tuple(param.shape)
+    self._transformed_shape, self._partitioner, self._precond_dims = (
+        _block_plan(self._original_shape, block_size,
+                    merge_small_dims_block_size,
+                    bool(best_effort_shape_interpretation),
+                    PreconditionerType(preconditioner_type)))
+    self._preconditioner_type = PreconditionerType(preconditioner_type)
+
+  def should_precondition_dims(self) -> List[bool]:
+    return list(self._precond_dims)
+
+  def exponent_for_preconditioner(self) -> int:
+    # root exponent p = 2 * number of Kronecker-factored axes.
+    return 2 * sum(self._precond_dims)
+
+  def shapes_for_preconditioners(self) -> List[List[int]]:
+    """[d, d] per (block, preconditioned axis), in partition order."""
+    out = []
+    for block_shape in self._partitioner.block_shapes():
+      for axis, on in enumerate(self._precond_dims):
+        if on:
+          d = block_shape[axis]
+          out.append([d, d])
+    return out
+
+  def num_statistics(self) -> int:
+    return len(self.shapes_for_preconditioners())
+
+  def statistics_from_grad(self, grad) -> List[Array]:
+    """Fresh (unweighted) Gram statistics ``G_(a) G_(a)^T`` per block/axis."""
+    reshaped = jnp.reshape(grad, self._transformed_shape)
+    blocks = self._partitioner.partition(reshaped)
+    out = []
+    for g in blocks:
+      for axis, on in enumerate(self._precond_dims):
+        if on:
+          contracted = [i for i in range(g.ndim) if i != axis]
+          out.append(jnp.tensordot(g, g, axes=(contracted, contracted)))
+    return out
+
+  def updated_statistics_from_grad(
+      self, stats, grad, w1, w2,
+      to_float=None, from_float=None, precision=None,
+  ) -> List[Array]:
+    """EMA update ``w1 * S + w2 * G_(a) G_(a)^T`` for every block/axis."""
+    to_float = to_float or (lambda x: x)
+    from_float = from_float or (lambda x: x)
+    reshaped = jnp.reshape(grad, self._transformed_shape)
+    blocks = self._partitioner.partition(reshaped)
+    new_stats = []
+    index = 0
+    for g in blocks:
+      for axis, on in enumerate(self._precond_dims):
+        if not on:
+          continue
+        contracted = [i for i in range(g.ndim) if i != axis]
+        gram = jnp.tensordot(g, g, axes=(contracted, contracted),
+                             precision=precision)
+        new_stats.append(from_float(w1 * to_float(stats[index]) + w2 * gram))
+        index += 1
+    return new_stats
+
+  def preconditioned_grad(self, grad, preconditioners) -> Array:
+    """Apply the per-axis inverse roots to every block of the gradient."""
+    reshaped = jnp.reshape(grad, self._transformed_shape)
+    blocks = self._partitioner.partition(reshaped)
+    n_per_block = sum(self._precond_dims)
+    out_blocks = []
+    for b, g in enumerate(blocks):
+      ps = preconditioners[b * n_per_block:(b + 1) * n_per_block]
+      it = iter(ps)
+      # Contract each preconditioned axis in turn; tensordot moves the
+      # contracted axis to the end, so after the full cycle axes are back in
+      # their original order.
+      for on in self._precond_dims:
+        if on:
+          g = jnp.tensordot(g, next(it), axes=[[0], [0]])
+        else:
+          g = jnp.moveaxis(g, 0, -1)
+      out_blocks.append(g)
+    merged = self._partitioner.merge_partitions(out_blocks)
+    return jnp.reshape(merged, self._original_shape)
+
+
+def _init_metrics(num_statistics, generate_training_metrics):
+  if not generate_training_metrics:
+    return optax.MaskedNode()
+  return jax.tree.map(
+      functools.partial(jnp.repeat, repeats=num_statistics), RootMetrics())
+
+
+def distributed_shampoo(
+    learning_rate: Union[float, Callable[[Array], Array]],
+    block_size: int = 1024,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    diagonal_epsilon: float = 1e-10,
+    matrix_epsilon: float = 1e-6,
+    weight_decay: float = 0.0,
+    start_preconditioning_step: int = 5,
+    preconditioning_compute_steps: int = 1,
+    statistics_compute_steps: int = 1,
+    best_effort_shape_interpretation: bool = True,
+    graft_type: GraftingType = GraftingType.SGD,
+    nesterov: bool = True,
+    exponent_override: int = 0,
+    batch_axis_name: Optional[str] = None,
+    statistics_partition_spec=None,
+    preconditioner_partition_spec=None,
+    num_devices_for_pjit: Optional[int] = None,
+    inverse_failure_threshold: float = 0.1,
+    moving_average_for_momentum: bool = False,
+    skip_preconditioning_dim_size_gt: int = 4096,
+    clip_by_scaled_gradient_norm: Optional[float] = None,
+    precision: lax.Precision = lax.Precision.HIGHEST,
+    tensordot_precision: Optional[lax.Precision] = None,
+    relative_matrix_epsilon: bool = True,
+    merge_small_dims_block_size: int = 4096,
+    lobpcg_topk_precondition: int = 0,
+    lobpcg_max_iter: int = 0,
+    precondtioner_type: PreconditionerType = PreconditionerType.ALL,
+    skip_preconditioning_rank_lt: int = 1,
+    decoupled_learning_rate: bool = True,
+    decoupled_weight_decay: bool = False,
+    generate_training_metrics: bool = True,
+    reuse_preconditioner: bool = False,
+    eigh: bool = False,
+    decay_preconditioning_compute_steps: bool = False,
+    end_preconditioning_compute_steps: Optional[int] = None,
+) -> optax.GradientTransformation:
+  """Builds the distributed Shampoo optimizer.
+
+  Args mirror the reference's public signature (`distributed_shampoo.py:
+  1849-2040`) so configs port over unchanged; see module docstring for the
+  architectural differences.
+
+  Distribution options (compose with a single-chip setup unchanged):
+    batch_axis_name: name of a mapped axis (pmap/shard_map).  Root solves
+      are split round-robin across the axis and all-gathered.
+    statistics_partition_spec / preconditioner_partition_spec: PartitionSpec
+      (or NamedSharding) constraints for the stacked ``[N, m, m]`` solve
+      under jit+Mesh.
+    num_devices_for_pjit: pad the stacked batch to a multiple of this.
+  """
+  if clip_by_scaled_gradient_norm is not None and graft_type not in (
+      GraftingType.RMSPROP, GraftingType.RMSPROP_NORMALIZED):
+    raise ValueError(
+        "clip_by_scaled_gradient_norm only applies to RMSProp grafting.")
+  if batch_axis_name and statistics_partition_spec is not None:
+    raise ValueError(
+        "Use either batch_axis_name (mapped) or partition specs (jit+mesh), "
+        "not both.")
+
+  graft_has_diag_stats = graft_type in (
+      GraftingType.ADAGRAD, GraftingType.RMSPROP,
+      GraftingType.RMSPROP_NORMALIZED, GraftingType.ADAGRAD_NORMALIZED)
+
+  def preconditioner_from_params(param) -> Preconditioner:
+    return Preconditioner(param, block_size, merge_small_dims_block_size,
+                          best_effort_shape_interpretation,
+                          precondtioner_type)
+
+  def _skip_preconditioning(param) -> bool:
+    return (len(param.shape) < skip_preconditioning_rank_lt or
+            any(s > skip_preconditioning_dim_size_gt for s in param.shape))
+
+  # --------------------------------------------------------------- init --
+  def init_fn(params):
+    def _init(param):
+      statistics = []
+      preconditioners = []
+      if not _skip_preconditioning(param):
+        pre = preconditioner_from_params(param)
+        stat_shapes = pre.shapes_for_preconditioners()
+        statistics = [matrix_epsilon * jnp.eye(s[0], dtype=jnp.float32)
+                      for s in stat_shapes]
+        preconditioners = [jnp.eye(s[0], s[1], dtype=jnp.float32)
+                           for s in stat_shapes]
+      diagonal_statistics = []
+      if graft_has_diag_stats:
+        diagonal_statistics = jnp.zeros_like(param)
+      return ParameterStats(
+          diagonal_statistics,
+          statistics,
+          preconditioners,
+          jnp.zeros_like(param),
+          jnp.zeros_like(param),
+          _init_metrics(len(statistics), generate_training_metrics))
+
+    return ShampooState(
+        count=jnp.zeros([], jnp.int32), stats=jax.tree.map(_init, params))
+
+  # --------------------------------------------------- statistics update --
+  def _update_statistics(grad, state: ParameterStats, param, step):
+    new_statistics = [[]] * len(state.statistics)
+    w1 = beta2
+    w2 = jnp.where(beta2 == 1.0, beta2, 1.0 - beta2)
+    if not _skip_preconditioning(param):
+      pre = preconditioner_from_params(param)
+
+      def compute():
+        return pre.updated_statistics_from_grad(
+            state.statistics, grad, w1=w1, w2=w2,
+            precision=tensordot_precision)
+
+      if statistics_compute_steps > 1:
+        perform = step % statistics_compute_steps == 0
+        new_statistics = list(lazy_cond(perform, compute, state.statistics))
+      else:
+        new_statistics = compute()
+    return state._replace(statistics=new_statistics)
+
+  # ------------------------------------------------- preconditioner solve --
+  solve_one = functools.partial(
+      pth_root.matrix_inverse_pth_root,
+      ridge_epsilon=matrix_epsilon,
+      precision=precision,
+      relative_matrix_epsilon=relative_matrix_epsilon,
+      lobpcg_topk_precondition=lobpcg_topk_precondition,
+      lobpcg_max_iter=lobpcg_max_iter,
+      eigh=eigh)
+
+  def _solve_batched(stacked, exps, pads):
+    """vmap the root solve over the stacked batch [N, m, m]."""
+    return jax.vmap(
+        lambda s, p, d: solve_one(s, p, padding_start=d))(stacked, exps, pads)
+
+  def _distributed_solve(stacked, exps, pads):
+    """Shard the stacked solve across devices, then regather.
+
+    TPU mapping: each device solves an equal slice of the Newton batches;
+    results ride one all-gather over ICI (`distributed_shampoo.py:2867-2892`
+    is the behavioural model; here it also works under shard_map).
+    """
+    n = stacked.shape[0]
+    if batch_axis_name:
+      num_devices = lax.psum(1, batch_axis_name)
+      assert n % num_devices == 0, (n, num_devices)
+      per = n // num_devices
+      me = lax.axis_index(batch_axis_name)
+      sl = lambda x: lax.dynamic_slice_in_dim(x, me * per, per)
+      roots, metrics = _solve_batched(sl(stacked), sl(exps), sl(pads))
+      roots = jnp.reshape(lax.all_gather(roots, batch_axis_name),
+                          (n,) + roots.shape[1:])
+      metrics = jax.tree.map(
+          lambda x: jnp.reshape(lax.all_gather(x, batch_axis_name), (n,)),
+          metrics)
+      return roots, metrics
+    if statistics_partition_spec is not None:
+      # Accept either bare PartitionSpecs (requires an ambient mesh) or
+      # NamedSharding objects (self-contained).
+      solve_spec = preconditioner_partition_spec
+      if isinstance(solve_spec, jax.sharding.NamedSharding):
+        P = jax.sharding.PartitionSpec
+        mesh_ = solve_spec.mesh
+        lead = solve_spec.spec[0] if len(solve_spec.spec) else None
+        lead_spec = jax.sharding.NamedSharding(mesh_, P(lead))
+        repl_spec = jax.sharding.NamedSharding(mesh_, P())
+      else:
+        lead_spec = (jax.sharding.PartitionSpec(solve_spec[0])
+                     if solve_spec else None)
+        repl_spec = jax.sharding.PartitionSpec()
+      stacked = lax.with_sharding_constraint(stacked, solve_spec)
+      exps = lax.with_sharding_constraint(exps, lead_spec)
+      pads = lax.with_sharding_constraint(pads, lead_spec)
+      roots, metrics = _solve_batched(stacked, exps, pads)
+      roots = lax.with_sharding_constraint(roots, solve_spec)
+      roots = lax.with_sharding_constraint(roots, statistics_partition_spec)
+      metrics = lax.with_sharding_constraint(metrics, repl_spec)
+      return roots, metrics
+    return _solve_batched(stacked, exps, pads)
+
+  def _update_preconditioners(states, params, step):
+    """Solve inverse roots for every statistic across all params at once."""
+    statistics, exponents, prev_pre, sizes, per_state_counts = [], [], [], [], []
+    for state, param in zip(states, params):
+      n = len(state.statistics)
+      per_state_counts.append(n)
+      if n:
+        pre = preconditioner_from_params(param)
+        exp = (pre.exponent_for_preconditioner()
+               if exponent_override == 0 else exponent_override)
+        for s in state.statistics:
+          exponents.append(exp)
+          sizes.append(s.shape[0])
+        statistics.extend(state.statistics)
+        prev_pre.extend(state.preconditioners)
+    num_statistics = len(statistics)
+    if num_statistics == 0:
+      return states
+
+    max_size = max(sizes)
+    # Pad every statistic to [[S, 0], [0, I]] at max_size and pad the batch
+    # count so it divides evenly across the solve shards.
+    if batch_axis_name:
+      num_shards = lax.psum(1, batch_axis_name)
+    else:
+      num_shards = num_devices_for_pjit or 1
+    to_pad = (-num_statistics) % num_shards
+    padded = [shape_utils.pad_square_matrix(s, max_size) for s in statistics]
+    padded.extend(jnp.eye(max_size, dtype=padded[0].dtype)
+                  for _ in range(to_pad))
+    stacked = jnp.stack(padded)
+    exps = jnp.asarray(exponents + [1] * to_pad, jnp.int32)
+    pads = jnp.asarray(sizes + [0] * to_pad, jnp.int32)
+
+    # Frequency gate.
+    steps_t = preconditioning_compute_steps
+    scheduled = (decay_preconditioning_compute_steps
+                 and end_preconditioning_compute_steps
+                 and callable(learning_rate))
+    if scheduled:
+      steps_t = preconditioning_compute_steps_schedule(
+          learning_rate, preconditioning_compute_steps,
+          end_preconditioning_compute_steps, step)
+    perform_step = step % steps_t == 0
+
+    def solve():
+      return _distributed_solve(stacked, exps, pads)
+
+    if not scheduled and preconditioning_compute_steps == 1:
+      roots, metrics = solve()
+    else:
+      # Skip the solve entirely on off-steps; dummy errors above the failure
+      # threshold make the selection below keep the old preconditioners.
+      init_roots = stacked
+      init_metrics = jax.tree.map(
+          lambda x: jnp.full((stacked.shape[0],), x),
+          RootMetrics(error=jnp.asarray(inverse_failure_threshold,
+                                        jnp.float32)))
+      roots, metrics = tree_lazy_cond(
+          perform_step, solve, (init_roots, init_metrics))
+
+    errors = metrics.error
+    failed = jnp.logical_or(jnp.isnan(errors),
+                            errors >= inverse_failure_threshold)
+
+    # Scatter results back into per-param lists with the failure gate.
+    new_states = []
+    idx = 0
+    for state, count in zip(states, per_state_counts):
+      if count == 0:
+        new_states.append(state)
+        continue
+      new_pre = []
+      for j in range(count):
+        d = sizes[idx + j]
+        fresh = roots[idx + j][:d, :d]
+        old = prev_pre[idx + j]
+        new_pre.append(jnp.where(failed[idx + j], old, fresh))
+      if generate_training_metrics:
+        m = jax.tree.map(lambda x: x[idx:idx + count], metrics)
+        # Keep stale metrics on skip steps so dashboards don't oscillate.
+        if not (not scheduled and preconditioning_compute_steps == 1):
+          m = tree_lazy_cond(perform_step, lambda mm=m: mm,
+                             state.training_metrics)
+      else:
+        m = optax.MaskedNode()
+      new_states.append(
+          state._replace(preconditioners=new_pre, training_metrics=m))
+      idx += count
+    return new_states
+
+  # ------------------------------------------------------ grad transform --
+  def _transform_grad(grad, state: ParameterStats, param, step):
+    sgd_update = grad
+    new_diag_stats = state.diagonal_statistics
+
+    if graft_type in (GraftingType.ADAGRAD, GraftingType.ADAGRAD_NORMALIZED):
+      scaled_grad = grad
+      if graft_type == GraftingType.ADAGRAD_NORMALIZED:
+        scaled_grad = grad / (jnp.linalg.norm(grad) + _EPSILON)
+      new_diag_stats = state.diagonal_statistics + jnp.square(scaled_grad)
+      grafting_update = scaled_grad / (
+          jnp.sqrt(new_diag_stats) + diagonal_epsilon)
+    elif graft_type in (GraftingType.RMSPROP, GraftingType.RMSPROP_NORMALIZED):
+      scaled_grad = grad
+      if graft_type == GraftingType.RMSPROP_NORMALIZED:
+        scaled_grad = grad / (jnp.linalg.norm(grad) + _EPSILON)
+      w1 = beta2
+      w2 = jnp.where(beta2 == 1.0, beta2, 1.0 - beta2)
+      new_diag_stats = (w1 * state.diagonal_statistics +
+                        w2 * jnp.square(scaled_grad))
+      grafting_update = scaled_grad / (
+          jnp.sqrt(new_diag_stats) + diagonal_epsilon)
+      if clip_by_scaled_gradient_norm:
+        scaled_norm = (jnp.linalg.norm(grafting_update) /
+                       jnp.sqrt(float(grafting_update.size)))
+        denom = jnp.maximum(1., scaled_norm / clip_by_scaled_gradient_norm)
+        grafting_update = grafting_update / denom
+    elif graft_type in (GraftingType.SGD, GraftingType.NONE):
+      grafting_update = sgd_update
+    else:  # SQRT_N: sign(g), norm sqrt(size)
+      grafting_update = jnp.ones_like(sgd_update) * jnp.sign(sgd_update)
+
+    lr = learning_rate(step) if callable(learning_rate) else learning_rate
+
+    precond_multiplier = lr if not decoupled_learning_rate else 1.0
+    grafting_update = grafting_update * precond_multiplier
+
+    if not _skip_preconditioning(param):
+      pre = preconditioner_from_params(param)
+      precond_grad = pre.preconditioned_grad(grad, state.preconditioners)
+    else:
+      precond_grad = grafting_update
+
+    if graft_type != GraftingType.NONE:
+      multiplier = jnp.linalg.norm(grafting_update) / (
+          jnp.linalg.norm(precond_grad) + _EPSILON)
+    else:
+      multiplier = 1.0
+    shampoo_update = precond_grad * multiplier
+
+    shampoo_wd = shampoo_update
+    graft_wd = grafting_update
+    if weight_decay != 0 and not decoupled_weight_decay:
+      shampoo_wd = shampoo_update + weight_decay * param
+      graft_wd = grafting_update + weight_decay * param
+
+    w = (1.0 - beta1) if moving_average_for_momentum else 1.0
+    shampoo_mom = state.momentum * beta1 + w * shampoo_wd
+    graft_mom = state.diagonal_momentum * beta1 + w * graft_wd
+
+    run_shampoo = (step >= start_preconditioning_step).astype(grad.dtype)
+    momentum_update = run_shampoo * shampoo_mom + (1 - run_shampoo) * graft_mom
+    wd_update = run_shampoo * shampoo_wd + (1 - run_shampoo) * graft_wd
+
+    if nesterov:
+      momentum_out = w * wd_update + beta1 * momentum_update
+    else:
+      momentum_out = momentum_update
+
+    if weight_decay != 0 and decoupled_weight_decay:
+      wd_lr = 1.0 if decoupled_learning_rate else lr
+      momentum_out = momentum_out + wd_lr * weight_decay * param
+
+    momentum_multiplier = lr if decoupled_learning_rate else 1.0
+    transformed = -1.0 * momentum_multiplier * momentum_out
+
+    new_state = state._replace(
+        diagonal_statistics=new_diag_stats,
+        diagonal_momentum=graft_mom,
+        momentum=shampoo_mom)
+    return transformed, new_state
+
+  # ------------------------------------------------------------- update --
+  def update_fn(grads, state, params):
+    params_flat, treedef = jax.tree.flatten(params)
+    stats_flat = treedef.flatten_up_to(state.stats)
+    grads_flat = treedef.flatten_up_to(grads)
+
+    new_stats_flat = [
+        _update_statistics(g, s, p, state.count)
+        for g, s, p in zip(grads_flat, stats_flat, params_flat)
+    ]
+    new_stats_flat = _update_preconditioners(
+        new_stats_flat, params_flat, state.count)
+    outputs = [
+        _transform_grad(g, s, p, state.count)
+        for g, s, p in zip(grads_flat, new_stats_flat, params_flat)
+    ]
+    updates_flat, new_stats_flat = zip(*outputs) if outputs else ((), ())
+    updates = jax.tree.unflatten(treedef, updates_flat)
+    new_stats = jax.tree.unflatten(treedef, new_stats_flat)
+    return updates, ShampooState(count=state.count + 1, stats=new_stats)
+
+  return optax.GradientTransformation(init_fn, update_fn)

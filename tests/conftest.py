@@ -1,0 +1,37 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+Multi-device code paths (round-robin root sharding, mesh shardings,
+collectives) are exercised for real on a forced 8-device CPU topology —
+better than the reference's 1-device pmap smoke tests.
+"""
+
+import os
+import sys
+
+# Must be set before jax initialises.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+  os.environ["XLA_FLAGS"] = (
+      _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The upstream reference package doubles as a numerics oracle in some tests.
+# It is mounted read-only; never write bytecode caches into it.
+sys.dont_write_bytecode = True
+_REFERENCE_PATH = "/root/reference"
+if os.path.isdir(_REFERENCE_PATH) and _REFERENCE_PATH not in sys.path:
+  sys.path.append(_REFERENCE_PATH)
+
+import pytest  # noqa: E402
+
+
+def has_reference() -> bool:
+  try:
+    import precondition  # noqa: F401
+    return True
+  except ImportError:
+    return False
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="upstream reference oracle not importable")

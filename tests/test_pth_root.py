@@ -1,0 +1,232 @@
+"""Numerics contract tests for the inverse-pth-root core.
+
+Mirrors the reference test strategy (SURVEY.md §4): conditioned-matrix
+property tests, padding invariance, stability micro-tests, plus direct
+oracle comparison against the upstream implementation.
+"""
+
+import numpy as np
+import pytest
+import scipy.stats
+
+import jax
+import jax.numpy as jnp
+
+from precondition_tpu.ops import pth_root
+
+from conftest import requires_reference
+
+
+def _conditioned_matrix(rng, n, condition):
+  """Symmetric PSD matrix with exact condition number `condition`."""
+  q = scipy.stats.ortho_group.rvs(dim=n, random_state=rng)
+  eigs = np.logspace(0, np.log10(condition), n)
+  return (q * eigs).dot(q.T).astype(np.float32)
+
+
+def _reference_root(mat, p, eps):
+  """Dense oracle: eigh-based (A + eps*lambda_max I)^{-1/p} in f64."""
+  mat = np.asarray(mat, np.float64)
+  e, u = np.linalg.eigh(mat)
+  ridge = eps * max(e.max(), 1e-25)
+  e = np.maximum(e + ridge, ridge)
+  return (u * e ** (-1.0 / p)).dot(u.T)
+
+
+class TestPowerIteration:
+
+  def test_matches_eigh(self):
+    rng = np.random.RandomState(0)
+    mat = _conditioned_matrix(rng, 16, 1e3)
+    _, ev = pth_root.power_iteration(jnp.asarray(mat))
+    np.testing.assert_allclose(ev, np.linalg.eigvalsh(mat).max(), rtol=1e-4)
+
+  def test_padding(self):
+    rng = np.random.RandomState(1)
+    mat = _conditioned_matrix(rng, 8, 1e2)
+    padded = np.zeros((12, 12), np.float32)
+    padded[:8, :8] = mat
+    _, ev = pth_root.power_iteration(jnp.asarray(padded), padding_start=8)
+    np.testing.assert_allclose(ev, np.linalg.eigvalsh(mat).max(), rtol=1e-4)
+
+
+class TestMatPower:
+
+  @pytest.mark.parametrize("p", [1, 2, 3, 4, 6, 8])
+  def test_matches_numpy(self, p):
+    rng = np.random.RandomState(2)
+    m = rng.randn(6, 6).astype(np.float32) * 0.3
+    got = pth_root.mat_power(jnp.asarray(m), p)
+    np.testing.assert_allclose(got, np.linalg.matrix_power(m, p),
+                               rtol=2e-4, atol=2e-5)
+
+  def test_traced_exponent(self):
+    m = jnp.eye(4) * 2.0
+    got = jax.jit(pth_root.mat_power)(m, jnp.asarray(3))
+    np.testing.assert_allclose(got, np.eye(4) * 8.0, rtol=1e-6)
+
+
+class TestPthRootDifference:
+
+  def test_against_f64_naive(self):
+    # Grid parity with the reference's stability micro-test.
+    for p in [2, 4, 6, 8]:
+      for w in [1e-6, 1e-3, 1.0, 1e3]:
+        for a in [1e-6, 1e-2, 1.0]:
+          for b in [1e-6, 1e-2, 1.0]:
+            got = pth_root.pth_root_difference(
+                jnp.float32(w), jnp.float32(a), jnp.float32(b), p)
+            want = (np.float64(w + a) ** (-1 / p)
+                    - np.float64(w + b) ** (-1 / p))
+            np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-7)
+
+
+class TestInversePthRoot:
+
+  @pytest.mark.parametrize("e", [0, 2, 4, 6])
+  @pytest.mark.parametrize("p", [2, 4])
+  def test_conditioned_matrices(self, e, p):
+    # Error < 0.1 required up to condition 1e6 (BASELINE.md row 3).
+    rng = np.random.RandomState(e + p)
+    mat = _conditioned_matrix(rng, 16, 10.0**e)
+    root, metrics = pth_root.matrix_inverse_pth_root(jnp.asarray(mat), p)
+    assert np.isfinite(root).all()
+    assert float(metrics.error) < 0.1, float(metrics.error)
+    want = _reference_root(mat, p, 1e-6)
+    rel = np.abs(np.asarray(root, np.float64) - want) / np.abs(want).max()
+    assert rel.max() < 0.2 if e >= 6 else rel.max() < 1e-2
+
+  @pytest.mark.parametrize("p", [2, 4, 8])
+  def test_identity(self, p):
+    root, metrics = pth_root.matrix_inverse_pth_root(jnp.eye(8), p)
+    np.testing.assert_allclose(root, np.eye(8) * (1 + 1e-6) ** (-1.0 / p),
+                               rtol=1e-3, atol=1e-4)
+    assert float(metrics.error) < 1e-3
+
+  def test_scalar_matrix(self):
+    root, _ = pth_root.matrix_inverse_pth_root(jnp.asarray([[4.0]]), 2)
+    np.testing.assert_allclose(root, [[0.5]], rtol=1e-3)
+
+  @pytest.mark.parametrize("n", [4, 32])
+  def test_padding_invariance(self, n):
+    # Root of [[M,0],[0,I]] principal block must match unpadded root.
+    rng = np.random.RandomState(n)
+    mat = _conditioned_matrix(rng, n, 1e3)
+    pad_n = n + 5
+    padded = np.zeros((pad_n, pad_n), np.float32)
+    padded[:n, :n] = mat
+    padded[range(n, pad_n), range(n, pad_n)] = 1.0
+
+    base, _ = pth_root.matrix_inverse_pth_root(
+        jnp.asarray(mat), 4, relative_matrix_epsilon=False)
+    padded_root, _ = pth_root.matrix_inverse_pth_root(
+        jnp.asarray(padded), 4, relative_matrix_epsilon=False)
+    rtol = 1e-2 if n == 4 else 5e-2
+    np.testing.assert_allclose(padded_root[:n, :n], base, rtol=rtol, atol=1e-3)
+
+  def test_padding_start_zeroes_rows(self):
+    rng = np.random.RandomState(7)
+    mat = _conditioned_matrix(rng, 8, 1e2)
+    padded = np.zeros((12, 12), np.float32)
+    padded[:8, :8] = mat
+    root, _ = pth_root.matrix_inverse_pth_root(
+        jnp.asarray(padded), 4, padding_start=8)
+    np.testing.assert_array_equal(root[8:, :], 0.0)
+    np.testing.assert_array_equal(root[:, 8:], 0.0)
+    base, _ = pth_root.matrix_inverse_pth_root(jnp.asarray(mat), 4)
+    np.testing.assert_allclose(root[:8, :8], base, rtol=1e-3, atol=1e-4)
+
+  def test_all_padding_returns_zero(self):
+    root, metrics = pth_root.matrix_inverse_pth_root(
+        jnp.eye(8), 2, padding_start=0)
+    np.testing.assert_array_equal(root, 0.0)
+    assert float(metrics.error) == 0.0
+
+  def test_eigh_path(self):
+    rng = np.random.RandomState(11)
+    mat = _conditioned_matrix(rng, 16, 1e4)
+    root, metrics = pth_root.matrix_inverse_pth_root(
+        jnp.asarray(mat), 4, eigh=True)
+    want = _reference_root(mat, 4, 1e-6)
+    np.testing.assert_allclose(root, want, rtol=2e-2, atol=1e-3)
+    # error metric is an absolute residual; scale by the spectral radius.
+    assert float(metrics.error) < 1e-4 * float(metrics.max_eigenvalue)
+    # symmetric by construction
+    np.testing.assert_allclose(root, np.asarray(root).T, rtol=1e-6)
+
+  def test_eigh_padding(self):
+    rng = np.random.RandomState(13)
+    mat = _conditioned_matrix(rng, 8, 1e2)
+    padded = np.zeros((12, 12), np.float32)
+    padded[:8, :8] = mat
+    root, _ = pth_root.matrix_inverse_pth_root(
+        jnp.asarray(padded), 4, padding_start=8, eigh=True)
+    np.testing.assert_array_equal(root[8:, :], 0.0)
+    base, _ = pth_root.matrix_inverse_pth_root(jnp.asarray(mat), 4, eigh=True)
+    np.testing.assert_allclose(root[:8, :8], base, rtol=1e-3, atol=1e-4)
+
+  def test_lobpcg_deflation(self):
+    rng = np.random.RandomState(17)
+    mat = _conditioned_matrix(rng, 16, 1e5)
+    root, metrics = pth_root.matrix_inverse_pth_root(
+        jnp.asarray(mat), 4, lobpcg_topk_precondition=2)
+    assert np.isfinite(root).all()
+    assert float(metrics.error) < 0.1
+    want = _reference_root(mat, 4, 1e-6)
+    rel = np.abs(np.asarray(root, np.float64) - want) / np.abs(want).max()
+    assert rel.max() < 5e-2
+
+  def test_batched(self):
+    rng = np.random.RandomState(19)
+    mats = np.stack([
+        np.pad(_conditioned_matrix(rng, 8, 1e2), ((0, 4), (0, 4)))
+        + np.diag([0.0] * 8 + [1.0] * 4),
+        _conditioned_matrix(rng, 12, 1e3),
+    ])
+    exps = jnp.asarray([4, 2], jnp.int32)
+    pads = jnp.asarray([8, 12], jnp.int32)
+    roots, metrics = pth_root.batched_inverse_pth_root(
+        jnp.asarray(mats), exps, pads)
+    assert roots.shape == (2, 12, 12)
+    assert np.isfinite(roots).all()
+    assert (np.asarray(metrics.error) < 0.1).all()
+    np.testing.assert_array_equal(np.asarray(roots[0])[8:, :], 0.0)
+
+
+@requires_reference
+class TestAgainstUpstream:
+  """Direct numerics parity with google-research/precondition."""
+
+  @pytest.mark.parametrize("p", [2, 4])
+  @pytest.mark.parametrize("e", [1, 3, 5])
+  def test_newton_root_matches(self, p, e):
+    from precondition import distributed_shampoo as ref
+
+    rng = np.random.RandomState(p * 10 + e)
+    mat = _conditioned_matrix(rng, 16, 10.0**e)
+    ours, m_ours = pth_root.matrix_inverse_pth_root(jnp.asarray(mat), p)
+    theirs, m_theirs = ref.matrix_inverse_pth_root(jnp.asarray(mat), p)
+    # Start vectors for the relative-epsilon power iteration differ, so the
+    # effective ridge differs in the last few digits: compare loosely.
+    np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=1e-4)
+    assert abs(float(m_ours.error) -
+               float(m_theirs.inverse_pth_root_errors)) < 5e-2
+
+  def test_eigh_root_matches(self):
+    from precondition import distributed_shampoo as ref
+
+    rng = np.random.RandomState(3)
+    mat = _conditioned_matrix(rng, 12, 1e4)
+    ours, _ = pth_root.matrix_inverse_pth_root(jnp.asarray(mat), 4, eigh=True)
+    theirs, _ = ref.matrix_inverse_pth_root(jnp.asarray(mat), 4, eigh=True)
+    np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=1e-4)
+
+  def test_pth_root_difference_matches(self):
+    from precondition import distributed_shampoo as ref
+
+    for p in [2, 4, 8]:
+      got = pth_root.pth_root_difference(
+          jnp.float32(1e-3), jnp.float32(0.5), jnp.float32(0.25), p)
+      want = ref._pth_root_difference(
+          jnp.float32(1e-3), jnp.float32(0.5), jnp.float32(0.25), p)
+      np.testing.assert_allclose(got, want, rtol=1e-5)

