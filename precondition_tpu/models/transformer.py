@@ -114,9 +114,9 @@ def _attention(params, x: Array, cfg: TransformerConfig) -> Array:
 
 
 def _mlp(params, x: Array) -> Array:
-  h = jnp.einsum("btd,df->btf", x, params["in_proj"].astype(x.dtype))
+  h = jnp.einsum("...d,df->...f", x, params["in_proj"].astype(x.dtype))
   h = jax.nn.gelu(h)
-  return jnp.einsum("btf,fd->btd", h, params["out_proj"].astype(x.dtype))
+  return jnp.einsum("...f,fd->...d", h, params["out_proj"].astype(x.dtype))
 
 
 def _block(params, x: Array, cfg: TransformerConfig) -> Array:
@@ -143,10 +143,77 @@ def forward(params, tokens: Array, cfg: TransformerConfig) -> Array:
 
 
 def loss_fn(params, batch, cfg: TransformerConfig) -> Array:
-  """Next-token cross entropy; ``batch = {'tokens': [b, t]}``."""
+  """Next-token cross entropy; ``batch = {'tokens': [b, t]}``.
+
+  Optional batch keys: ``target_mask [b, t]`` restricts the loss to masked
+  positions; ``factors [b]`` weights each example (used by the datamix
+  importance-weighting batch generators).
+  """
   tokens = batch["tokens"]
   logits = forward(params, tokens[:, :-1], cfg)
   targets = tokens[:, 1:]
   logp = jax.nn.log_softmax(logits, axis=-1)
   nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-  return jnp.mean(nll)
+  mask = batch.get("target_mask")
+  if mask is not None:
+    mask = mask[:, 1:].astype(nll.dtype)
+  else:
+    mask = jnp.ones_like(nll)
+  factors = batch.get("factors")
+  if factors is not None:
+    mask = mask * factors[:, None].astype(nll.dtype)
+  denom = jnp.maximum(jnp.sum(mask), 1.0)
+  return jnp.sum(nll * mask) / denom
+
+
+# ------------------------------------------------------------- decoding --
+def init_cache(cfg: TransformerConfig, batch_size: int,
+               max_len: Optional[int] = None):
+  """Per-layer KV cache ``[b, max_len, heads, head_dim]``."""
+  t = max_len or cfg.max_seq_len
+  shape = (batch_size, t, cfg.n_heads, cfg.head_dim)
+  return [{"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+          for _ in range(cfg.n_layers)]
+
+
+def _attention_decode(params, x, cache, pos, cfg: TransformerConfig):
+  """Single-position attention against the KV cache; returns (out, cache)."""
+  b = x.shape[0]
+  qkv = jnp.einsum("bd,de->be", x, params["qkv"].astype(x.dtype))
+  qkv = qkv.reshape(b, 3, cfg.n_heads, cfg.head_dim)
+  q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+  cache = {
+      "k": lax.dynamic_update_slice_in_dim(cache["k"], k[:, None], pos, axis=1),
+      "v": lax.dynamic_update_slice_in_dim(cache["v"], v[:, None], pos, axis=1),
+  }
+  logits = jnp.einsum("bhd,bkhd->bhk", q, cache["k"]) / jnp.sqrt(
+      cfg.head_dim).astype(x.dtype)
+  t = cache["k"].shape[1]
+  mask = jnp.arange(t)[None, None, :] <= pos
+  logits = jnp.where(mask, logits, jnp.asarray(-1e9, x.dtype))
+  probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+  ctx = jnp.einsum("bhk,bkhd->bhd", probs, cache["v"]).reshape(b, -1)
+  return jnp.einsum("bd,de->be", ctx, params["out"].astype(x.dtype)), cache
+
+
+def decode_step(params, caches, tokens: Array, pos,
+                cfg: TransformerConfig):
+  """One autoregressive step: ``tokens [b]`` at position ``pos``.
+
+  Returns ``(logits [b, vocab], caches)``.  The KV-cache layout keeps the
+  sequence axis contiguous so the per-step dynamic_update_slice is a cheap
+  VMEM-resident write under XLA.
+  """
+  x = params["embed"]["table"][tokens].astype(cfg.dtype)
+  x = x + params["pos_embed"]["table"][pos].astype(cfg.dtype)
+  new_caches = []
+  for bp, cache in zip(params["blocks"], caches):
+    attn_out, cache = _attention_decode(
+        bp["attn"], _rms_norm(x, bp["attn_norm"]["scale"]), cache, pos, cfg)
+    x = x + attn_out
+    x = x + _mlp(bp["mlp"], _rms_norm(x, bp["mlp_norm"]["scale"]))
+    new_caches.append(cache)
+  x = _rms_norm(x, params["final_norm"]["scale"])
+  logits = jnp.einsum("bd,dv->bv", x.astype(jnp.float32),
+                      params["unembed"]["kernel"])
+  return logits, new_caches

@@ -257,6 +257,7 @@ def distributed_shampoo(
     eigh: bool = False,
     decay_preconditioning_compute_steps: bool = False,
     end_preconditioning_compute_steps: Optional[int] = None,
+    shard_optimizer_states: bool = False,
 ) -> optax.GradientTransformation:
   """Builds the distributed Shampoo optimizer.
 
@@ -593,5 +594,27 @@ def distributed_shampoo(
     updates = jax.tree.unflatten(treedef, updates_flat)
     new_stats = jax.tree.unflatten(treedef, new_stats_flat)
     return updates, ShampooState(count=state.count + 1, stats=new_stats)
+
+  if shard_optimizer_states:
+    from precondition_tpu.optim import sharded_shampoo
+
+    init_fn_state, sharded_update_fn = sharded_shampoo.make_sharded_fns(
+        preconditioner_from_params=preconditioner_from_params,
+        skip_preconditioning=_skip_preconditioning,
+        transform_grad=_transform_grad,
+        update_statistics=_update_statistics,
+        solve_batched=_solve_batched,
+        graft_has_diag_stats=graft_has_diag_stats,
+        matrix_epsilon=matrix_epsilon,
+        exponent_override=exponent_override,
+        statistics_partition_spec=statistics_partition_spec,
+        preconditioner_partition_spec=preconditioner_partition_spec,
+        num_devices_for_pjit=num_devices_for_pjit,
+        preconditioning_compute_steps=preconditioning_compute_steps,
+        inverse_failure_threshold=inverse_failure_threshold,
+        generate_training_metrics=generate_training_metrics,
+        init_metrics=_init_metrics,
+    )
+    return optax.GradientTransformation(init_fn_state, sharded_update_fn)
 
   return optax.GradientTransformation(init_fn, update_fn)

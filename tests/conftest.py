@@ -8,8 +8,10 @@ better than the reference's 1-device pmap smoke tests.
 import os
 import sys
 
-# Must be set before jax initialises.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initialises.  Force CPU: the ambient environment
+# presets JAX_PLATFORMS to the TPU plugin, but unit tests run on a virtual
+# 8-device CPU topology.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
   os.environ["XLA_FLAGS"] = (
