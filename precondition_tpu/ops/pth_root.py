@@ -123,11 +123,29 @@ def mat_power(
     p: Union[int, Array],
     precision: lax.Precision = lax.Precision.HIGHEST,
 ) -> Array:
-  """``m**p`` by square-and-multiply; ``p`` may be a traced scalar.
+  """``m**p`` by square-and-multiply; ``p`` may be static or traced.
 
-  Parity: `distributed_shampoo.py:655-678`. Needed because batched blocks of
-  different tensor ranks carry different exponents through one vmap.
+  Parity: `distributed_shampoo.py:655-678`.  When ``p`` is a python int the
+  exponentiation unrolls to pure matmuls — crucial on TPU, where a traced-p
+  while_loop under vmap costs several full-batch select/copy passes per
+  Newton iteration (measured ~10x the matmul cost).  The optimizer layers
+  bucket statistics by exponent so the static path is the hot one.
   """
+  if isinstance(p, int):
+    if p <= 0:
+      return jnp.eye(m.shape[-1], dtype=m.dtype)
+    result = None
+    square = m
+    bits = p
+    while bits:
+      if bits & 1:
+        result = square if result is None else jnp.matmul(
+            result, square, precision=precision)
+      bits >>= 1
+      if bits:
+        square = jnp.matmul(square, square, precision=precision)
+    return result
+
   out = jnp.eye(m.shape[-1], dtype=m.dtype)
 
   def cond(state):
@@ -322,8 +340,13 @@ def matrix_inverse_pth_root(
     diff = pth_root_difference(ridge, jnp.min(eigvals), eigvals, p)
     scaled = eigvecs * jnp.sqrt(diff)
     root = root - jnp.matmul(scaled, scaled.T, precision=lax.Precision.HIGHEST)
-    # Report error against the *unconditioned* problem.
-    damped = original_matrix + ridge * identity
+    # Report error against the undeflated problem at the ridge the solver
+    # actually used (the retry ladder may have escalated it); measuring
+    # against the original ridge would flag perfectly good roots.
+    # Round i used ridge * 10^i; `retries` counts completed rounds.
+    effective_ridge = ridge * 10.0 ** jnp.maximum(
+        jnp.asarray(retries, work) - 1.0, 0.0)
+    damped = original_matrix + effective_ridge * identity
     err_mat = jnp.matmul(
         mat_power(root, p, precision), damped, precision=precision) - identity
     if padding_start is not None:
@@ -413,7 +436,7 @@ inverse_pth_root = matrix_inverse_pth_root
 
 def batched_inverse_pth_root(
     stats: Array,
-    exponents: Array,
+    exponents: Union[int, Array],
     padding_starts: Optional[Array] = None,
     **kwargs,
 ) -> Tuple[Array, RootMetrics]:
@@ -422,8 +445,18 @@ def batched_inverse_pth_root(
   This is the unit of work the distribution layer shards across devices:
   each device solves its slice of the batch, then the fresh preconditioners
   are all-gathered (see `precondition_tpu.parallel`).
+
+  Pass a python-int ``exponents`` when the whole batch shares one exponent:
+  the inner `mat_power` then unrolls statically, which is several times
+  faster on TPU than the traced-exponent path (the optimizer buckets
+  statistics by exponent to exploit this).
   """
   fn = functools.partial(matrix_inverse_pth_root, **kwargs)
+  if isinstance(exponents, int):
+    if padding_starts is None:
+      return jax.vmap(lambda m: fn(m, exponents))(stats)
+    return jax.vmap(lambda m, s: fn(m, exponents, padding_start=s))(
+        stats, padding_starts)
   if padding_starts is None:
     return jax.vmap(lambda m, p: fn(m, p))(stats, exponents)
   return jax.vmap(lambda m, p, s: fn(m, p, padding_start=s))(

@@ -258,6 +258,7 @@ def distributed_shampoo(
     decay_preconditioning_compute_steps: bool = False,
     end_preconditioning_compute_steps: Optional[int] = None,
     shard_optimizer_states: bool = False,
+    solver_backend: str = "xla",
 ) -> optax.GradientTransformation:
   """Builds the distributed Shampoo optimizer.
 
@@ -352,7 +353,29 @@ def distributed_shampoo(
       eigh=eigh)
 
   def _solve_batched(stacked, exps, pads):
-    """vmap the root solve over the stacked batch [N, m, m]."""
+    """vmap the root solve over the stacked batch [N, m, m].
+
+    ``exps`` may be a python int (whole batch shares one exponent — the hot
+    path; `mat_power` unrolls statically) or a per-matrix array.
+
+    ``solver_backend='pallas'`` routes supported sizes through the fused
+    VMEM-resident kernel (`ops.pallas.newton_root`) — per-matrix early
+    exit; profitable when iteration counts vary a lot across the batch.
+    """
+    if (solver_backend == "pallas" and not eigh
+        and lobpcg_topk_precondition == 0):
+      from precondition_tpu.ops.pallas import newton_root
+
+      if newton_root.supported(stacked.shape[-1]):
+        exps_arr = (jnp.full((stacked.shape[0],), exps, jnp.int32)
+                    if isinstance(exps, int) else exps)
+        return newton_root.batched_inverse_pth_root_pallas(
+            stacked, exps_arr, pads,
+            ridge_epsilon=matrix_epsilon,
+            relative_matrix_epsilon=relative_matrix_epsilon)
+    if isinstance(exps, int):
+      return jax.vmap(
+          lambda s, d: solve_one(s, exps, padding_start=d))(stacked, pads)
     return jax.vmap(
         lambda s, p, d: solve_one(s, p, padding_start=d))(stacked, exps, pads)
 
@@ -370,7 +393,8 @@ def distributed_shampoo(
       per = n // num_devices
       me = lax.axis_index(batch_axis_name)
       sl = lambda x: lax.dynamic_slice_in_dim(x, me * per, per)
-      roots, metrics = _solve_batched(sl(stacked), sl(exps), sl(pads))
+      exps_slice = exps if isinstance(exps, int) else sl(exps)
+      roots, metrics = _solve_batched(sl(stacked), exps_slice, sl(pads))
       roots = jnp.reshape(lax.all_gather(roots, batch_axis_name),
                           (n,) + roots.shape[1:])
       metrics = jax.tree.map(
@@ -392,7 +416,8 @@ def distributed_shampoo(
                      if solve_spec else None)
         repl_spec = jax.sharding.PartitionSpec()
       stacked = lax.with_sharding_constraint(stacked, solve_spec)
-      exps = lax.with_sharding_constraint(exps, lead_spec)
+      if not isinstance(exps, int):
+        exps = lax.with_sharding_constraint(exps, lead_spec)
       pads = lax.with_sharding_constraint(pads, lead_spec)
       roots, metrics = _solve_batched(stacked, exps, pads)
       roots = lax.with_sharding_constraint(roots, solve_spec)
@@ -421,19 +446,37 @@ def distributed_shampoo(
       return states
 
     max_size = max(sizes)
-    # Pad every statistic to [[S, 0], [0, I]] at max_size and pad the batch
-    # count so it divides evenly across the solve shards.
     if batch_axis_name:
       num_shards = lax.psum(1, batch_axis_name)
     else:
       num_shards = num_devices_for_pjit or 1
-    to_pad = (-num_statistics) % num_shards
     padded = [shape_utils.pad_square_matrix(s, max_size) for s in statistics]
-    padded.extend(jnp.eye(max_size, dtype=padded[0].dtype)
-                  for _ in range(to_pad))
-    stacked = jnp.stack(padded)
-    exps = jnp.asarray(exponents + [1] * to_pad, jnp.int32)
-    pads = jnp.asarray(sizes + [0] * to_pad, jnp.int32)
+
+    # Bucket statistics by exponent (a static property of each block's
+    # rank): each bucket solves with a *python-int* exponent so mat_power
+    # unrolls to pure matmuls.  Measured several-x faster on TPU than one
+    # mixed-exponent batch with a traced-p while_loop.
+    groups = {}
+    for i, e in enumerate(exponents):
+      groups.setdefault(int(e), []).append(i)
+
+    def solve():
+      roots_out = [None] * num_statistics
+      metrics_out = [None] * num_statistics
+      for exp, idxs in sorted(groups.items()):
+        to_pad = (-len(idxs)) % num_shards
+        grp = [padded[i] for i in idxs]
+        grp.extend(jnp.eye(max_size, dtype=grp[0].dtype)
+                   for _ in range(to_pad))
+        grp_pads = jnp.asarray([sizes[i] for i in idxs] + [0] * to_pad,
+                               jnp.int32)
+        roots, metrics = _distributed_solve(jnp.stack(grp), exp, grp_pads)
+        for j, i in enumerate(idxs):
+          roots_out[i] = roots[j]
+          metrics_out[i] = jax.tree.map(lambda x, j=j: x[j], metrics)
+      all_roots = jnp.stack(roots_out)
+      all_metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics_out)
+      return all_roots, all_metrics
 
     # Frequency gate.
     steps_t = preconditioning_compute_steps
@@ -446,17 +489,14 @@ def distributed_shampoo(
           end_preconditioning_compute_steps, step)
     perform_step = step % steps_t == 0
 
-    def solve():
-      return _distributed_solve(stacked, exps, pads)
-
     if not scheduled and preconditioning_compute_steps == 1:
       roots, metrics = solve()
     else:
       # Skip the solve entirely on off-steps; dummy errors above the failure
       # threshold make the selection below keep the old preconditioners.
-      init_roots = stacked
+      init_roots = jnp.stack(padded)
       init_metrics = jax.tree.map(
-          lambda x: jnp.full((stacked.shape[0],), x),
+          lambda x: jnp.full((num_statistics,), x),
           RootMetrics(error=jnp.asarray(inverse_failure_threshold,
                                         jnp.float32)))
       roots, metrics = tree_lazy_cond(

@@ -99,44 +99,88 @@ def make_sharded_fns(
   """
 
   def _param_layout(params_flat):
-    """Static layout: per-param sizes, exponents, global padded max size."""
-    layouts = []
-    max_size = 0
-    index = 0
+    """Static layout: per-param (index_start, sizes), global padded size.
+
+    Global slots are assigned in order of ascending exponent so every
+    exponent group is one contiguous slice of the ``[N, m, m]`` array —
+    the solve then runs per group with a *static* exponent (mat_power
+    unrolls; several-x faster than a traced-exponent batch).
+    """
+    per_param = []
     for param in params_flat:
       if skip_preconditioning(param):
-        layouts.append((index, []))
+        per_param.append(([], 0))
         continue
       pre = preconditioner_from_params(param)
       sizes = [s[0] for s in pre.shapes_for_preconditioners()]
-      layouts.append((index, sizes))
+      exp = (pre.exponent_for_preconditioner()
+             if exponent_override == 0 else exponent_override)
+      per_param.append((sizes, exp))
+
+    order = sorted((i for i, (s, _) in enumerate(per_param) if s),
+                   key=lambda i: per_param[i][1])
+    layouts = [None] * len(params_flat)
+    groups = []  # (exponent, start, count), contiguous, ascending exponent
+    index = 0
+    max_size = 0
+    for i in order:
+      sizes, exp = per_param[i]
+      layouts[i] = (index, sizes)
+      if groups and groups[-1][0] == exp:
+        groups[-1] = (exp, groups[-1][1], groups[-1][2] + len(sizes))
+      else:
+        groups.append((exp, index, len(sizes)))
       index += len(sizes)
       max_size = max([max_size] + sizes)
+    for i, (sizes, _) in enumerate(per_param):
+      if not sizes:
+        layouts[i] = (index, [])
     padded_n = index
     if num_devices_for_pjit:
       padded_n = -(-index // num_devices_for_pjit) * num_devices_for_pjit
-    return layouts, index, padded_n, max_size
+    if padded_n > index and groups:
+      # Padding slots (identity matrices) join the last group; any
+      # exponent is exact on the identity.
+      exp, start, count = groups[-1]
+      groups[-1] = (exp, start, count + padded_n - index)
+    return layouts, index, padded_n, max_size, groups
+
+  def _slot_info(params_flat, layouts, n, padded_n):
+    """Per-global-slot (size, exponent), honouring the sorted layout."""
+    slot_sizes = [0] * padded_n
+    slot_exps = [1] * padded_n
+    for param, (index_start, sizes) in zip(params_flat, layouts):
+      if not sizes:
+        continue
+      pre = preconditioner_from_params(param)
+      exp = (pre.exponent_for_preconditioner()
+             if exponent_override == 0 else exponent_override)
+      for k, d in enumerate(sizes):
+        slot_sizes[index_start + k] = d
+        slot_exps[index_start + k] = exp
+    return slot_sizes, slot_exps
 
   def sharded_init_fn(params):
     """Materialise the global + local state."""
     params_flat, treedef = jax.tree.flatten(params)
-    layouts, n, padded_n, max_size = _param_layout(params_flat)
+    layouts, n, padded_n, max_size, _ = _param_layout(params_flat)
+    slot_sizes, slot_exps = _slot_info(params_flat, layouts, n, padded_n)
 
     padded_stats = []
     padded_pre = []
-    exponents = []
+    for slot in range(padded_n):
+      d = slot_sizes[slot]
+      if d:
+        padded_stats.append(shape_utils.pad_square_matrix(
+            matrix_epsilon * jnp.eye(d, dtype=jnp.float32), max_size))
+        padded_pre.append(shape_utils.pad_square_matrix(
+            jnp.eye(d, dtype=jnp.float32), max_size))
+      else:  # batch-padding slot
+        padded_stats.append(jnp.eye(max_size, dtype=jnp.float32))
+        padded_pre.append(jnp.eye(max_size, dtype=jnp.float32))
+
     local_stats_flat = []
     for param, (index_start, sizes) in zip(params_flat, layouts):
-      if sizes:
-        pre = preconditioner_from_params(param)
-        exp = (pre.exponent_for_preconditioner()
-               if exponent_override == 0 else exponent_override)
-        for d in sizes:
-          padded_stats.append(shape_utils.pad_square_matrix(
-              matrix_epsilon * jnp.eye(d, dtype=jnp.float32), max_size))
-          padded_pre.append(shape_utils.pad_square_matrix(
-              jnp.eye(d, dtype=jnp.float32), max_size))
-          exponents.append(exp)
       diag = jnp.zeros_like(param) if graft_has_diag_stats else []
       local_stats_flat.append(LocalShardedParameterStats(
           diag,
@@ -147,16 +191,11 @@ def make_sharded_fns(
           sizes,
       ))
 
-    for _ in range(padded_n - n):
-      padded_stats.append(jnp.eye(max_size, dtype=jnp.float32))
-      padded_pre.append(jnp.eye(max_size, dtype=jnp.float32))
-      exponents.append(1)
-
     if padded_stats:
       global_stats = GlobalShardedParameterStats(
           jnp.stack(padded_stats),
           jnp.stack(padded_pre),
-          jnp.asarray(exponents, jnp.int32))
+          jnp.asarray(slot_exps, jnp.int32))
     else:
       global_stats = GlobalShardedParameterStats(
           jnp.zeros((0, 0, 0), jnp.float32),
@@ -177,7 +216,7 @@ def make_sharded_fns(
       partition_spec_for_statistics = statistics_partition_spec
     params_flat, treedef = jax.tree.flatten(params)
     specs_flat = treedef.flatten_up_to(params_partition_spec)
-    layouts, _, _, _ = _param_layout(params_flat)
+    layouts, _, _, _, _ = _param_layout(params_flat)
     local = []
     for spec, (index_start, sizes) in zip(specs_flat, layouts):
       scalar = jax.sharding.PartitionSpec()
@@ -201,7 +240,7 @@ def make_sharded_fns(
   def sharded_init_shape_and_dtype_fn(params):
     """[shape, dtype] tree matching `sharded_init_fn`'s layout."""
     params_flat, treedef = jax.tree.flatten(params)
-    layouts, _, padded_n, max_size = _param_layout(params_flat)
+    layouts, _, padded_n, max_size, _ = _param_layout(params_flat)
     local = []
     for param, (index_start, sizes) in zip(params_flat, layouts):
       shape_dtype = [list(param.shape), param.dtype]
@@ -244,11 +283,13 @@ def make_sharded_fns(
     local_stats_flat = treedef.flatten_up_to(state.stats.local_stats)
     max_size = global_stats.statistics.shape[-1] if (
         global_stats.statistics.ndim == 3) else 0
+    layouts, n, padded_n, _, groups = _param_layout(params_flat)
+    slot_sizes, _ = _slot_info(params_flat, layouts, n, padded_n)
 
     # 1) per-param statistics update + grad transform with current roots.
     new_local_flat = []
     updates_flat = []
-    new_padded_stats = []
+    slot_stats = [None] * padded_n
     for grad, local_stat, param in zip(grads_flat, local_stats_flat,
                                        params_flat):
       stats, pre = _slice_stats(global_stats, local_stat)
@@ -264,36 +305,40 @@ def make_sharded_fns(
           local_stat.training_metrics,
           local_stat.index_start,
           local_stat.sizes))
-      for s in param_state.statistics:
-        new_padded_stats.append(
+      for k, s in enumerate(param_state.statistics):
+        slot_stats[int(local_stat.index_start) + k] = (
             shape_utils.pad_square_matrix(s, max_size))
 
     updates = jax.tree.unflatten(treedef, updates_flat)
 
-    if not new_padded_stats:
+    if n == 0:
       return updates, ShampooState(
           count=state.count + 1,
           stats=ShardedShampooStats(
               global_stats, jax.tree.unflatten(treedef, new_local_flat)))
 
-    # 2) restack + pad the global statistics array.
-    n_pad = global_stats.statistics.shape[0] - len(new_padded_stats)
-    new_padded_stats.extend(
-        jnp.eye(max_size, dtype=jnp.float32) for _ in range(n_pad))
-    stacked = _constrain(jnp.stack(new_padded_stats),
-                         statistics_partition_spec)
-    sizes_all = []
-    for local_stat in new_local_flat:
-      sizes_all.extend(local_stat.sizes)
-    pads = jnp.asarray(sizes_all + [0] * n_pad, jnp.int32)
+    # 2) restack + pad the global statistics array (slot order).
+    for slot in range(padded_n):
+      if slot_stats[slot] is None:
+        slot_stats[slot] = jnp.eye(max_size, dtype=jnp.float32)
+    stacked = _constrain(jnp.stack(slot_stats), statistics_partition_spec)
+    pads = jnp.asarray(slot_sizes, jnp.int32)
 
-    # 3) gated sharded solve.
+    # 3) gated sharded solve, one static-exponent slice per group.
     perform_step = state.count % preconditioning_compute_steps == 0
 
     def solve():
       xs = _constrain(stacked, preconditioner_partition_spec)
-      ps = global_stats.exponents
-      roots, metrics = solve_batched(xs, ps, pads)
+      root_parts = []
+      metric_parts = []
+      for exp, start, count in groups:
+        r, met = solve_batched(
+            xs[start:start + count], exp, pads[start:start + count])
+        root_parts.append(r)
+        metric_parts.append(met)
+      roots = jnp.concatenate(root_parts, axis=0)
+      metrics = jax.tree.map(
+          lambda *ms: jnp.concatenate(ms, axis=0), *metric_parts)
       roots = _constrain(roots, preconditioner_partition_spec)
       roots = _constrain(roots, statistics_partition_spec)
       return roots, metrics

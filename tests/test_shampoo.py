@@ -141,9 +141,10 @@ class TestShampoo:
       ours_up, ours_state = ours_tx.update(g, ours_state, ours_params)
       ref_up, ref_state = ref_tx.update(g, ref_state, ref_params)
       # atol floor covers f32 roundoff from the differing (but equally
-      # valid) power-iteration start vectors feeding the relative ridge.
+      # valid) power-iteration start vectors feeding the relative ridge,
+      # and from the statically-unrolled mat_power's matmul ordering.
       chex.assert_trees_all_close(
-          ours_up, ref_up, rtol=2e-4, atol=5e-6,
+          ours_up, ref_up, rtol=2e-4, atol=1e-5,
           custom_message=f"step {step} kwargs {ours_kwargs}")
       ours_params = jax.tree.map(lambda p, u: p + u, ours_params, ours_up)
       ref_params = jax.tree.map(lambda p, u: p + u, ref_params, ref_up)
