@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from precondition_tpu.ops import lowrank
 from precondition_tpu.ops import pth_root
 from precondition_tpu.ops.pth_root import RootMetrics
 from precondition_tpu.utils import shapes as shape_utils
@@ -75,9 +76,12 @@ class ParameterStats(NamedTuple):
   """Per-parameter Shampoo state."""
   diagonal_statistics: Any        # grafting accumulator ([] if unused)
   statistics: List[Any]           # per block x axis [d, d] Kronecker factors
-  preconditioners: List[Any]      # matching inverse roots
+                                  # (Cholesky factors in FD mode)
+  preconditioners: List[Any]      # matching inverse roots (packed [d, k+2]
+                                  # buffers when compressed)
   diagonal_momentum: Any          # momentum of the grafting direction
   momentum: Any                   # momentum of the preconditioned direction
+  avg_grad: Any                   # FD gradient averaging buffer (or Masked)
   training_metrics: Union[RootMetrics, optax.MaskedNode]
 
 
@@ -127,7 +131,8 @@ class Preconditioner:
 
   def __init__(self, param, block_size, merge_small_dims_block_size,
                best_effort_shape_interpretation,
-               preconditioner_type=PreconditionerType.ALL):
+               preconditioner_type=PreconditionerType.ALL,
+               compression_rank=0):
     self._original_shape = tuple(param.shape)
     self._transformed_shape, self._partitioner, self._precond_dims = (
         _block_plan(self._original_shape, block_size,
@@ -135,6 +140,7 @@ class Preconditioner:
                     bool(best_effort_shape_interpretation),
                     PreconditionerType(preconditioner_type)))
     self._preconditioner_type = PreconditionerType(preconditioner_type)
+    self._compression_rank = compression_rank
 
   def should_precondition_dims(self) -> List[bool]:
     return list(self._precond_dims)
@@ -144,13 +150,14 @@ class Preconditioner:
     return 2 * sum(self._precond_dims)
 
   def shapes_for_preconditioners(self) -> List[List[int]]:
-    """[d, d] per (block, preconditioned axis), in partition order."""
+    """Preconditioner shape per (block, preconditioned axis), in
+    partition order; ``[d, rank+2]`` when compression pays off."""
     out = []
     for block_shape in self._partitioner.block_shapes():
       for axis, on in enumerate(self._precond_dims):
         if on:
           d = block_shape[axis]
-          out.append([d, d])
+          out.append([d, lowrank.precond_dim(self._compression_rank, d)])
     return out
 
   def num_statistics(self) -> int:
@@ -171,8 +178,14 @@ class Preconditioner:
   def updated_statistics_from_grad(
       self, stats, grad, w1, w2,
       to_float=None, from_float=None, precision=None,
+      frequent_directions=False,
   ) -> List[Array]:
-    """EMA update ``w1 * S + w2 * G_(a) G_(a)^T`` for every block/axis."""
+    """EMA update ``w1 * S + w2 * G_(a) G_(a)^T`` for every block/axis.
+
+    In FD mode, compressed statistics instead become the gradient's
+    Cholesky factor (history accumulates inside the sketch, see
+    `ops.lowrank.frequent_directions_update`).
+    """
     to_float = to_float or (lambda x: x)
     from_float = from_float or (lambda x: x)
     reshaped = jnp.reshape(grad, self._transformed_shape)
@@ -183,10 +196,16 @@ class Preconditioner:
       for axis, on in enumerate(self._precond_dims):
         if not on:
           continue
-        contracted = [i for i in range(g.ndim) if i != axis]
-        gram = jnp.tensordot(g, g, axes=(contracted, contracted),
-                             precision=precision)
-        new_stats.append(from_float(w1 * to_float(stats[index]) + w2 * gram))
+        if frequent_directions and lowrank.should_compress(
+            self._compression_rank, g.shape[axis]):
+          new_stat = lowrank.frequent_directions_update(
+              to_float(stats[index]), g, axis, w1, w2)
+        else:
+          contracted = [i for i in range(g.ndim) if i != axis]
+          gram = jnp.tensordot(g, g, axes=(contracted, contracted),
+                               precision=precision)
+          new_stat = w1 * to_float(stats[index]) + w2 * gram
+        new_stats.append(from_float(new_stat))
         index += 1
     return new_stats
 
@@ -203,10 +222,16 @@ class Preconditioner:
       # contracted axis to the end, so after the full cycle axes are back in
       # their original order.
       for on in self._precond_dims:
-        if on:
-          g = jnp.tensordot(g, next(it), axes=[[0], [0]])
-        else:
+        if not on:
           g = jnp.moveaxis(g, 0, -1)
+          continue
+        pre_mat = next(it)
+        if pre_mat.shape[0] != pre_mat.shape[1]:
+          # Packed low-rank/FD preconditioner.
+          g = lowrank.apply_low_rank_preconditioner(
+              g, pre_mat, self._compression_rank)
+        else:
+          g = jnp.tensordot(g, pre_mat, axes=[[0], [0]])
       out_blocks.append(g)
     merged = self._partitioner.merge_partitions(out_blocks)
     return jnp.reshape(merged, self._original_shape)
@@ -259,6 +284,10 @@ def distributed_shampoo(
     end_preconditioning_compute_steps: Optional[int] = None,
     shard_optimizer_states: bool = False,
     solver_backend: str = "xla",
+    compression_rank: int = 0,
+    frequent_directions: bool = False,
+    average_grad: bool = False,
+    best_effort_memory_usage_reduction: bool = False,
 ) -> optax.GradientTransformation:
   """Builds the distributed Shampoo optimizer.
 
@@ -282,6 +311,12 @@ def distributed_shampoo(
     raise ValueError(
         "Use either batch_axis_name (mapped) or partition specs (jit+mesh), "
         "not both.")
+  if frequent_directions and compression_rank <= 0:
+    raise ValueError(
+        "frequent_directions requires a positive compression_rank.")
+  if shard_optimizer_states and compression_rank:
+    raise ValueError(
+        "compression is not supported in the memory-sharded mode.")
 
   graft_has_diag_stats = graft_type in (
       GraftingType.ADAGRAD, GraftingType.RMSPROP,
@@ -290,11 +325,24 @@ def distributed_shampoo(
   def preconditioner_from_params(param) -> Preconditioner:
     return Preconditioner(param, block_size, merge_small_dims_block_size,
                           best_effort_shape_interpretation,
-                          precondtioner_type)
+                          precondtioner_type, compression_rank)
 
   def _skip_preconditioning(param) -> bool:
     return (len(param.shape) < skip_preconditioning_rank_lt or
             any(s > skip_preconditioning_dim_size_gt for s in param.shape))
+
+  # int8-quantised momentum buffers cut the two momenta's HBM footprint 4x
+  # (parity: the reference's best_effort_memory_usage_reduction momentum
+  # path; statistics/preconditioner quantisation is handled by the
+  # quantized_dtype arguments of `utils.quantization` and can be layered on
+  # the same hooks).
+  def _quantize_momentum(x):
+    if best_effort_memory_usage_reduction:
+      return QuantizedValue.from_float_value(x, jnp.int8)
+    return x
+
+  def _momentum_to_float(x):
+    return x.to_float() if isinstance(x, QuantizedValue) else x
 
   # --------------------------------------------------------------- init --
   def init_fn(params):
@@ -306,17 +354,25 @@ def distributed_shampoo(
         stat_shapes = pre.shapes_for_preconditioners()
         statistics = [matrix_epsilon * jnp.eye(s[0], dtype=jnp.float32)
                       for s in stat_shapes]
-        preconditioners = [jnp.eye(s[0], s[1], dtype=jnp.float32)
-                           for s in stat_shapes]
+        # Compressed (rectangular) preconditioners start at zero -- a
+        # truncated identity would be meaningless in the packed layout.
+        preconditioners = [
+            jnp.eye(s[0], s[1], dtype=jnp.float32) * (s[0] == s[1])
+            for s in stat_shapes
+        ]
       diagonal_statistics = []
       if graft_has_diag_stats:
         diagonal_statistics = jnp.zeros_like(param)
+      avg_grad = (jnp.zeros_like(param)
+                  if frequent_directions and average_grad
+                  else optax.MaskedNode())
       return ParameterStats(
           diagonal_statistics,
           statistics,
           preconditioners,
-          jnp.zeros_like(param),
-          jnp.zeros_like(param),
+          _quantize_momentum(jnp.zeros_like(param)),
+          _quantize_momentum(jnp.zeros_like(param)),
+          avg_grad,
           _init_metrics(len(statistics), generate_training_metrics))
 
     return ShampooState(
@@ -327,20 +383,32 @@ def distributed_shampoo(
     new_statistics = [[]] * len(state.statistics)
     w1 = beta2
     w2 = jnp.where(beta2 == 1.0, beta2, 1.0 - beta2)
+    new_avg_grad = state.avg_grad
     if not _skip_preconditioning(param):
       pre = preconditioner_from_params(param)
+
+      if frequent_directions and average_grad:
+        # Average gradients over the statistics window so the FD sketch
+        # sees the mean direction, not just the last step's.
+        new_avg_grad = jnp.where(
+            jnp.logical_or(statistics_compute_steps == 1,
+                           step % statistics_compute_steps == 1),
+            grad, state.avg_grad + grad)
+        grad = new_avg_grad / statistics_compute_steps
 
       def compute():
         return pre.updated_statistics_from_grad(
             state.statistics, grad, w1=w1, w2=w2,
-            precision=tensordot_precision)
+            precision=tensordot_precision,
+            frequent_directions=frequent_directions)
 
       if statistics_compute_steps > 1:
         perform = step % statistics_compute_steps == 0
         new_statistics = list(lazy_cond(perform, compute, state.statistics))
       else:
         new_statistics = compute()
-    return state._replace(statistics=new_statistics)
+    return state._replace(statistics=new_statistics,
+                          avg_grad=new_avg_grad)
 
   # ------------------------------------------------- preconditioner solve --
   solve_one = functools.partial(
@@ -451,32 +519,60 @@ def distributed_shampoo(
     else:
       num_shards = num_devices_for_pjit or 1
     padded = [shape_utils.pad_square_matrix(s, max_size) for s in statistics]
+    pd = lowrank.precond_dim(compression_rank, max_size)
 
-    # Bucket statistics by exponent (a static property of each block's
-    # rank): each bucket solves with a *python-int* exponent so mat_power
-    # unrolls to pure matmuls.  Measured several-x faster on TPU than one
-    # mixed-exponent batch with a traced-p while_loop.
+    # Bucket statistics by (exponent, solver-mode) -- both static per
+    # block.  Static exponents let mat_power unroll to pure matmuls
+    # (measured several-x faster on TPU than a traced-p while_loop), and
+    # compressed blocks route to the low-rank/FD eigensolvers.
     groups = {}
-    for i, e in enumerate(exponents):
-      groups.setdefault(int(e), []).append(i)
+    for i, (e, d) in enumerate(zip(exponents, sizes)):
+      if lowrank.should_compress(compression_rank, d):
+        mode = "fd" if frequent_directions else "lowrank"
+      else:
+        mode = "full"
+      groups.setdefault((int(e), mode), []).append(i)
+
+    def _pad_packed(buf):
+      out = jnp.zeros((max_size, pd), buf.dtype)
+      return out.at[:buf.shape[0], :buf.shape[1]].set(buf)
 
     def solve():
       roots_out = [None] * num_statistics
       metrics_out = [None] * num_statistics
-      for exp, idxs in sorted(groups.items()):
-        to_pad = (-len(idxs)) % num_shards
-        grp = [padded[i] for i in idxs]
-        grp.extend(jnp.eye(max_size, dtype=grp[0].dtype)
-                   for _ in range(to_pad))
-        grp_pads = jnp.asarray([sizes[i] for i in idxs] + [0] * to_pad,
-                               jnp.int32)
-        roots, metrics = _distributed_solve(jnp.stack(grp), exp, grp_pads)
+      for (exp, mode), idxs in sorted(groups.items()):
+        grp_pads = jnp.asarray([sizes[i] for i in idxs], jnp.int32)
+        if mode == "full":
+          to_pad = (-len(idxs)) % num_shards
+          grp = [padded[i] for i in idxs]
+          grp.extend(jnp.eye(max_size, dtype=grp[0].dtype)
+                     for _ in range(to_pad))
+          grp_pads = jnp.asarray(
+              [sizes[i] for i in idxs] + [0] * to_pad, jnp.int32)
+          roots, metrics = _distributed_solve(jnp.stack(grp), exp, grp_pads)
+        elif mode == "lowrank":
+          stacked = jnp.stack([padded[i] for i in idxs])
+          roots, metrics = jax.vmap(
+              lambda m, d: lowrank.low_rank_root(
+                  m, exp, compression_rank,
+                  ridge_epsilon=matrix_epsilon,
+                  relative_matrix_epsilon=relative_matrix_epsilon,
+                  padding_start=d))(stacked, grp_pads)
+        else:  # fd: statistics are Cholesky factors, prev is required.
+          stacked = jnp.stack([padded[i] for i in idxs])
+          prevs = jnp.stack([_pad_packed(prev_pre[i]) for i in idxs])
+          roots, metrics = jax.vmap(
+              lambda g, pv, d: lowrank.fd_update_root(
+                  g, exp, abs(compression_rank),
+                  ridge_epsilon=matrix_epsilon,
+                  relative_matrix_epsilon=relative_matrix_epsilon,
+                  decay=beta2, padding_start=d,
+                  prev=pv))(stacked, prevs, grp_pads)
         for j, i in enumerate(idxs):
           roots_out[i] = roots[j]
           metrics_out[i] = jax.tree.map(lambda x, j=j: x[j], metrics)
-      all_roots = jnp.stack(roots_out)
       all_metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics_out)
-      return all_roots, all_metrics
+      return tuple(roots_out), all_metrics
 
     # Frequency gate.
     steps_t = preconditioning_compute_steps
@@ -494,13 +590,18 @@ def distributed_shampoo(
     else:
       # Skip the solve entirely on off-steps; dummy errors above the failure
       # threshold make the selection below keep the old preconditioners.
-      init_roots = jnp.stack(padded)
+      init_roots = []
+      for i, d in enumerate(sizes):
+        if lowrank.should_compress(compression_rank, d):
+          init_roots.append(_pad_packed(prev_pre[i]))
+        else:
+          init_roots.append(padded[i])
       init_metrics = jax.tree.map(
           lambda x: jnp.full((num_statistics,), x),
           RootMetrics(error=jnp.asarray(inverse_failure_threshold,
                                         jnp.float32)))
       roots, metrics = tree_lazy_cond(
-          perform_step, solve, (init_roots, init_metrics))
+          perform_step, solve, (tuple(init_roots), init_metrics))
 
     errors = metrics.error
     failed = jnp.logical_or(jnp.isnan(errors),
@@ -515,9 +616,9 @@ def distributed_shampoo(
         continue
       new_pre = []
       for j in range(count):
-        d = sizes[idx + j]
-        fresh = roots[idx + j][:d, :d]
         old = prev_pre[idx + j]
+        rows, cols = old.shape
+        fresh = roots[idx + j][:rows, :cols]
         new_pre.append(jnp.where(failed[idx + j], old, fresh))
       if generate_training_metrics:
         m = jax.tree.map(lambda x: x[idx:idx + count], metrics)
@@ -589,8 +690,9 @@ def distributed_shampoo(
       graft_wd = grafting_update + weight_decay * param
 
     w = (1.0 - beta1) if moving_average_for_momentum else 1.0
-    shampoo_mom = state.momentum * beta1 + w * shampoo_wd
-    graft_mom = state.diagonal_momentum * beta1 + w * graft_wd
+    shampoo_mom = _momentum_to_float(state.momentum) * beta1 + w * shampoo_wd
+    graft_mom = (_momentum_to_float(state.diagonal_momentum) * beta1
+                 + w * graft_wd)
 
     run_shampoo = (step >= start_preconditioning_step).astype(grad.dtype)
     momentum_update = run_shampoo * shampoo_mom + (1 - run_shampoo) * graft_mom
@@ -610,8 +712,8 @@ def distributed_shampoo(
 
     new_state = state._replace(
         diagonal_statistics=new_diag_stats,
-        diagonal_momentum=graft_mom,
-        momentum=shampoo_mom)
+        diagonal_momentum=_quantize_momentum(graft_mom),
+        momentum=_quantize_momentum(shampoo_mom))
     return transformed, new_state
 
   # ------------------------------------------------------------- update --

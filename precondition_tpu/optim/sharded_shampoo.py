@@ -404,6 +404,7 @@ class _LocalAdapter:
     self.training_metrics = local_stat.training_metrics
     self.statistics = statistics
     self.preconditioners = preconditioners
+    self.avg_grad = optax.MaskedNode()  # FD not supported in sharded mode
 
   def _replace(self, **kw):
     out = _LocalAdapter.__new__(_LocalAdapter)

@@ -128,7 +128,36 @@ class TestShampoo:
   def test_matches_upstream_options(self, kwargs):
     self._compare_with_upstream(kwargs, kwargs)
 
-  def _compare_with_upstream(self, ours_kwargs, ref_kwargs, steps=6):
+  @requires_reference
+  @pytest.mark.parametrize("kwargs", [
+      dict(compression_rank=1),
+      dict(compression_rank=-1),
+      # Upstream's FD path requires reuse_preconditioner to plumb `prev`.
+      dict(compression_rank=1, frequent_directions=True,
+           reuse_preconditioner=True),
+  ])
+  def test_matches_upstream_compression(self, kwargs):
+    # The larger fixture gives dims where rank+2 < d so compression kicks
+    # in (merged [4,3]->12 and [2,3,4]->24 blocks of 8).
+    self._compare_with_upstream(kwargs, kwargs, rtol=5e-3, atol=5e-4)
+
+  def test_quantized_momentum_close_to_unquantized(self):
+    params, grads = _fixture()
+    tx_q = shampoo.distributed_shampoo(
+        **COMMON, best_effort_memory_usage_reduction=True)
+    tx_f = shampoo.distributed_shampoo(**COMMON)
+    s_q, s_f = tx_q.init(params), tx_f.init(params)
+    from precondition_tpu.utils.quantization import QuantizedValue
+    assert isinstance(s_q.stats["w"].momentum, QuantizedValue)
+    assert s_q.stats["w"].momentum.quantized.dtype == jnp.int8
+    for step, g in enumerate(grads[:4]):
+      u_q, s_q = tx_q.update(g, s_q, params)
+      u_f, s_f = tx_f.update(g, s_f, params)
+      chex.assert_trees_all_close(u_q, u_f, rtol=0.1, atol=5e-3,
+                                  custom_message=f"step {step}")
+
+  def _compare_with_upstream(self, ours_kwargs, ref_kwargs, steps=6,
+                             rtol=2e-4, atol=1e-5):
     from precondition import distributed_shampoo as ref
     params, grads = _fixture()
     ours_tx = shampoo.distributed_shampoo(**{**COMMON, **ours_kwargs})
@@ -144,7 +173,7 @@ class TestShampoo:
       # valid) power-iteration start vectors feeding the relative ridge,
       # and from the statically-unrolled mat_power's matmul ordering.
       chex.assert_trees_all_close(
-          ours_up, ref_up, rtol=2e-4, atol=1e-5,
+          ours_up, ref_up, rtol=rtol, atol=atol,
           custom_message=f"step {step} kwargs {ours_kwargs}")
       ours_params = jax.tree.map(lambda p, u: p + u, ours_params, ours_up)
       ref_params = jax.tree.map(lambda p, u: p + u, ref_params, ref_up)
