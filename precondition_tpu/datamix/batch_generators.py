@@ -109,6 +109,10 @@ class DartboardDeterministicTrainingBatchGenerator(TrainingBatchGenerator):
     return 1
 
   def _allocate(self, weights) -> np.ndarray:
+    from precondition_tpu.datamix import native
+
+    if native.available():
+      return native.allocate_proportional(weights, self.batch_size)
     raw = weights * self.batch_size
     counts = np.floor(raw).astype(int)
     remainder = self.batch_size - counts.sum()

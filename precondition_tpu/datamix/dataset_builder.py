@@ -66,14 +66,27 @@ class TextDatasetBuilder(DatasetBuilder):
   """Builder over an in-memory list of (prompt, answer) pairs."""
 
   def __init__(self, pairs: Sequence, tokenizer, max_seq_len: int,
-               pad_id: int = 0):
+               pad_id: int = 0, vocab_size: Optional[int] = None):
     super().__init__(tokenizer, max_seq_len, pad_id)
     self.pairs = list(pairs)
+    self.vocab_size = vocab_size  # enables the native batch path
 
   def get_train_dataset(self, batch_size: int = 1, num_epochs: int = 1):
     for _ in range(num_epochs):
       for prompt, answer in self.pairs:
         yield self.to_example(prompt, answer)
+
+  def to_examples_batch(self, pairs: Sequence) -> List[Example]:
+    """Batch tokenise+pad+mask; C++ fast path when vocab_size is set
+    (byte-level tokenisation) and `native.batchio` is available."""
+    if self.vocab_size is not None:
+      from precondition_tpu.datamix import native
+
+      if native.available():
+        tokens, masks = native.build_examples(
+            list(pairs), self.max_seq_len, self.vocab_size, self.pad_id)
+        return [Example(tokens[i], masks[i]) for i in range(len(pairs))]
+    return [self.to_example(p, a) for p, a in pairs]
 
   def num_examples(self) -> int:
     return len(self.pairs)

@@ -8,14 +8,24 @@ better than the reference's 1-device pmap smoke tests.
 import os
 import sys
 
-# Must be set before jax initialises.  Force CPU: the ambient environment
-# presets JAX_PLATFORMS to the TPU plugin, but unit tests run on a virtual
-# 8-device CPU topology.
+# The ambient TPU environment's sitecustomize initialises the axon jax
+# plugin at interpreter startup, which breaks the usual pattern of forcing
+# a multi-device CPU topology purely through environment variables: the
+# plugin's registration wins unless the platform is ALSO pinned through
+# jax.config after import.  Order matters: env first, import jax, then
+# config.update — empirically this yields the 8 virtual CPU devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
   os.environ["XLA_FLAGS"] = (
       _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.local_device_count() >= 8, (
+    "expected the virtual 8-device CPU topology; got "
+    f"{jax.local_device_count()} devices")
 
 # The upstream reference package doubles as a numerics oracle in some tests.
 # It is mounted read-only; never write bytecode caches into it.
