@@ -49,21 +49,40 @@ HYPERS = dict(
 )
 
 
-def _time_update(tx, params, grads, graft_kwargs, iters=10, rounds=3):
-  """Min-of-rounds timing (the tunneled chip has high run-to-run variance)."""
+def _prepare(tx, params, grads, warmup=3):
+  """Compile and settle state past the ill-conditioned first steps."""
   state = tx.init(params)
   update = jax.jit(tx.update)
-  # Warm up: compile + settle the state past the ill-conditioned first steps.
-  for _ in range(3):
+  for _ in range(warmup):
     updates, state = update(grads, state, params)
   jax.block_until_ready(updates)
-  best = float("inf")
+  return update, state
+
+
+def _measure_round(update, state, grads, params, iters):
+  start = time.perf_counter()
+  for _ in range(iters):
+    updates, state = update(grads, state, params)
+  jax.block_until_ready(updates)
+  return (time.perf_counter() - start) / iters, state
+
+
+def _time_interleaved(runs, iters=10, rounds=4):
+  """Min-of-interleaved-rounds per run.
+
+  The tunneled chip's throughput drifts on multi-second scales, so the
+  candidates' rounds alternate (A B A B ...) instead of timing each one in
+  its own window.
+  """
+  prepared = {name: _prepare(tx, params, grads)
+              for name, (tx, params, grads) in runs.items()}
+  best = {name: float("inf") for name in runs}
   for _ in range(rounds):
-    start = time.perf_counter()
-    for _ in range(iters):
-      updates, state = update(grads, state, params)
-    jax.block_until_ready(updates)
-    best = min(best, (time.perf_counter() - start) / iters)
+    for name, (tx, params, grads) in runs.items():
+      update, state = prepared[name]
+      dt, state = _measure_round(update, state, grads, params, iters)
+      prepared[name] = (update, state)
+      best[name] = min(best[name], dt)
   return best
 
 
@@ -75,11 +94,13 @@ def main():
 
   from precondition_tpu.optim import shampoo as ours
 
+  # Metrics off on both sides for an apples-to-apples comparison (the
+  # reference side below also disables them).
   ours_tx = ours.distributed_shampoo(
-      **HYPERS, graft_type=ours.GraftingType.RMSPROP)
-  ours_time = _time_update(ours_tx, params, grads, {})
+      **HYPERS, graft_type=ours.GraftingType.RMSPROP,
+      generate_training_metrics=False)
+  runs = {"ours": (ours_tx, params, grads)}
 
-  baseline_time = None
   try:
     ref_path = "/root/reference"
     if os.path.isdir(ref_path) and ref_path not in sys.path:
@@ -90,9 +111,13 @@ def main():
     ref_tx = ref.distributed_shampoo(
         **HYPERS, graft_type=ref.GraftingType.RMSPROP,
         generate_training_metrics=False)
-    baseline_time = _time_update(ref_tx, params, grads, {})
+    runs["baseline"] = (ref_tx, params, grads)
   except Exception:
-    baseline_time = None
+    pass
+
+  best = _time_interleaved(runs)
+  ours_time = best["ours"]
+  baseline_time = best.get("baseline")
 
   result = {
       "metric": "shampoo_step_time_17M_block128",

@@ -295,14 +295,8 @@ def matrix_inverse_pth_root(
     if eigvals is not None:
       max_ev = jnp.max(eigvals)
     else:
-      # Accelerators use a relative tolerance: the eigenvalue only scales
-      # the ridge, and each power-iteration matvec re-reads the matrix
-      # from HBM (CPU keeps the reference's absolute-tolerance semantics).
-      on_accel = jax.default_backend() != "cpu"
       _, max_ev = power_iteration(
-          matrix, num_iters=100,
-          error_tolerance=1e-4 if on_accel else 1e-6,
-          relative_tolerance=on_accel,
+          matrix, num_iters=100, error_tolerance=1e-6,
           precision=precision, padding_start=padding_start)
   else:
     max_ev = jnp.asarray(1.0, work)

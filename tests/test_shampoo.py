@@ -141,6 +141,15 @@ class TestShampoo:
     # in (merged [4,3]->12 and [2,3,4]->24 blocks of 8).
     self._compare_with_upstream(kwargs, kwargs, rtol=5e-3, atol=5e-4)
 
+  @requires_reference
+  def test_matches_upstream_quantized(self):
+    # Both sides quantize statistics to int16 (+diagonal) and momenta to
+    # int8; quantisation noise needs loose tolerances.
+    self._compare_with_upstream(
+        dict(best_effort_memory_usage_reduction=True),
+        dict(best_effort_memory_usage_reduction=True),
+        rtol=5e-2, atol=5e-3)
+
   def test_quantized_momentum_close_to_unquantized(self):
     params, grads = _fixture()
     tx_q = shampoo.distributed_shampoo(
