@@ -362,3 +362,46 @@ class TestTearfreeFull:
       ref_u, ref_s = ref_tx.update(g, ref_s, params)
       chex.assert_trees_all_close(ours_u, ref_u, rtol=2e-4, atol=1e-6,
                                   custom_message=f"step {step}")
+
+
+class TestSmokeDistributed:
+  """Equivalent of the reference's optimizer_smoke_test: distributed-ish
+  configs stay finite and deterministic (two identical runs agree)."""
+
+  @pytest.mark.parametrize("second_order_type", ["shampoo", "sketchy"])
+  def test_finite_and_deterministic(self, second_order_type):
+    if second_order_type == "shampoo":
+      so = second_order.Options(
+          merge_dims=8, shampoo_options=shampoo.Options(block_size=8))
+    else:
+      so = second_order.Options(
+          merge_dims=8,
+          second_order_type=second_order.SecondOrderType.SKETCHY,
+          shampoo_options=None,
+          sketchy_options=sketchy.Options(rank=4))
+    options = optimizer.TearfreeOptions(
+        grafting_options=grafting.Options(
+            grafting_type=grafting.GraftingType.RMSPROP,
+            start_preconditioning_step=2),
+        second_order_options=so,
+        momentum_options=momentum.Options(momentum_decay=0.9))
+    params = {"w": jnp.asarray(np.random.RandomState(0).randn(8, 4),
+                               jnp.float32),
+              "b": jnp.zeros(3)}
+    rng = np.random.RandomState(1)
+    grads = [jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params)
+        for _ in range(4)]
+
+    def run():
+      tx = optimizer.tearfree(0.1, options)
+      state = tx.init(params)
+      p = params
+      for g in grads:
+        u, state = tx.update(g, state, p)
+        p = jax.tree.map(lambda a, b: a + b, p, u)
+      return p
+
+    p1, p2 = run(), run()
+    chex.assert_tree_all_finite(p1)
+    chex.assert_trees_all_close(p1, p2, rtol=0, atol=0)
