@@ -1,35 +1,58 @@
-"""Fused batched inverse-pth-root Pallas kernel.
+"""Fused batched inverse-pth-root Pallas kernel (tiled variant).
 
-One grid step solves one ``[m, m]`` matrix entirely in VMEM: power
-iteration for the relative ridge, the coupled-Newton loop, and the ridge
+One grid step solves a *tile* of ``k`` matrices entirely in VMEM: the
+relative-ridge power iteration, the coupled-Newton loop, and the ridge
 retry ladder all run on-chip with zero HBM traffic between iterations.
 
-Why this beats the XLA/vmap path (`precondition_tpu.ops.pth_root`):
+Why tiles?  The round-1 per-matrix kernel lost to XLA (0.65x): a single
+``[m, m]`` matmul chain is latency-bound — each Newton iteration is ~4
+*dependent* MXU ops, so the systolic array drains between them.  With
+``k`` independent matrices per program the per-iteration matmuls become
+batched ``[k, m, m]`` dots whose k independent chains pipeline through
+the MXU back-to-back.  Convergence control stays per matrix:
 
-* **Per-matrix early exit.**  A vmapped `lax.while_loop` iterates until the
-  *slowest* matrix in the batch converges and a single matrix entering the
-  retry ladder re-runs the whole batch.  Here each matrix runs exactly its
-  own iteration count.
+* **Per-matrix early exit within the tile.**  Each matrix carries its own
+  ``active`` mask; converged/diverged members freeze while the rest
+  iterate, and the tile's while-loop exits when *all* k members are done.
+  A vmapped XLA while_loop pays the max iteration count over the whole
+  [N] batch; here only over k (=8 for the 128-block production shape).
+* **Per-matrix retry ladder.**  Only members whose converged error
+  exceeds the retry threshold re-solve at the escalated ridge; the
+  others' roots are frozen by the same masking.
 * **VMEM residency.**  XLA's while_loop carries the ``[N, m, m]`` state
-  through HBM every iteration (~2 x 46 MB per iteration for the bench
-  batch); the kernel touches HBM once for the input and once for the root.
-* The grid is pipelined by Pallas's automatic double-buffered DMA, so the
-  next matrix loads while the current one solves.
+  through HBM every iteration (~2 x 46 MB for the bench batch); the
+  kernel touches HBM once for the statistics and once for the roots.
+* **Static exponent.**  The exponent is a Python int (the optimizer
+  buckets statistics by exponent — `optim/shampoo.py` groups), so
+  ``T^p`` unrolls to log2(p) square-and-multiply batched matmuls with no
+  scalar control flow — the round-1 kernel's traced-exponent
+  while_loop-per-matmul was pure overhead.
+* **Warm starts** (``prevs``): the same certified transformed-problem
+  formulation as `pth_root.matrix_inverse_pth_root` — round 0 attempts
+  ``C (A + r I) C`` with ``C = prev^{p/2}``; a per-matrix certificate
+  ``|M0 - I| <= warm_error_threshold`` gates it, failures fall through
+  to the cold ladder.  Near-converged production statistics then take
+  1-2 Newton iterations, exactly where per-matrix early exit pays most.
 
-Semantics match `matrix_inverse_pth_root` (ridge retry x10 up to 6 tries,
-error-ratio divergence exit, padding masks, dynamic exponents).  The only
-intentional difference: the power-iteration start vector is a deterministic
-on-chip hash sequence instead of a host PRNG draw (both are valid; results
-agree to the solver tolerance, which the tests assert).
+Semantics match `matrix_inverse_pth_root` (ridge retry x10 up to 6
+tries, error-ratio divergence exit returning the previous iterate,
+padding masks, pure-padding rows zeroed).  The only intentional
+difference: the power-iteration start vector is a deterministic on-chip
+hash sequence instead of a host PRNG draw (both valid; results agree to
+solver tolerance, which the tests assert).
 
-VMEM budget: ~8 [m, m] f32 buffers -> m <= 512 fits in 16 MB.  Use
-`supported(m)` to gate and fall back to the jnp path.
+Reference hot loop this replaces: `distributed_shampoo.py:836-848`
+(Newton iteration) + `:702-940` (guards).
+
+VMEM budget: ~12 live [k, m, m] f32 buffers; ``tile_for(m)`` picks k so
+k*m^2 <= 128^2*8, i.e. <= ~6 MB of state.  Use `supported(m)` to gate
+and fall back to the jnp path.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 from jax import lax
@@ -41,61 +64,81 @@ from precondition_tpu.ops.pth_root import RootMetrics
 
 Array = jax.Array
 
+_LN10 = 2.302585092994046
+
 
 def supported(m: int) -> bool:
   """Whether the fused kernel handles this matrix size."""
   return 8 <= m <= 512 and m % 8 == 0
 
 
-def _mm(a, b):
+def tile_for(m: int, warm: bool = False) -> int:
+  """Matrices per grid step: fill the MXU pipeline within VMEM budget.
+
+  Warm solves hold ~2x the live state (prev, C, CMC, CC blocks), so they
+  run half the tile.
+  """
+  budget = 128 * 128 * (4 if warm else 8)
+  return max(1, min(8, budget // (m * m)))
+
+
+def _bmm(a, b):
+  """Batched [k,m,m] @ [k,m,m] on the MXU at full f32 precision."""
   return lax.dot_general(
-      a, b, (((1,), (0,)), ((), ())),
+      a, b, (((2,), (1,)), ((0,), (0,))),
       precision=lax.Precision.HIGHEST,
       preferred_element_type=jnp.float32)
 
 
-def _mat_power(mat, p, m):
-  """mat**p by square-and-multiply; p is a traced int32 scalar."""
-  eye_m = _masked_eye_full(m)
-
-  def cond(state):
-    return state[0] > 0
-
-  def body(state):
-    i, acc, sq = state
-    acc = lax.cond(i % 2 == 1, lambda: _mm(sq, acc), lambda: acc)
-    return i // 2, acc, _mm(sq, sq)
-
-  _, out, _ = lax.while_loop(cond, body, (p, eye_m, mat))
+def _bmat_power(mat, p: int):
+  """mat**p (static p) by square-and-multiply; log2(p) batched matmuls."""
+  assert p >= 1
+  out = None
+  while p > 0:
+    if p % 2:
+      out = mat if out is None else _bmm(out, mat)
+    p //= 2
+    if p:
+      mat = _bmm(mat, mat)
   return out
 
 
-def _masked_eye_full(m):
-  rows = lax.broadcasted_iota(jnp.int32, (m, m), 0)
-  cols = lax.broadcasted_iota(jnp.int32, (m, m), 1)
-  return jnp.where(rows == cols, 1.0, 0.0).astype(jnp.float32)
+def _transpose(x):
+  return jnp.swapaxes(x, 1, 2)
 
 
-def _masked_eye(m, pad):
-  rows = lax.broadcasted_iota(jnp.int32, (m, m), 0)
-  cols = lax.broadcasted_iota(jnp.int32, (m, m), 1)
-  return jnp.where((rows == cols) & (rows < pad), 1.0, 0.0).astype(
-      jnp.float32)
+def _rowmax(x):
+  """[k,m,m] -> [k,1,1] max (staged: Mosaic rejects multi-axis reduces)."""
+  return jnp.max(jnp.max(x, axis=2, keepdims=True), axis=1, keepdims=True)
 
 
-def _hash_vector(m):
-  """Deterministic pseudo-random start vector in [-0.5, 0.5)."""
-  idx = lax.broadcasted_iota(jnp.uint32, (m, 1), 0)
-  h = (idx * jnp.uint32(2654435761)) ^ jnp.uint32(0x9E3779B9)
-  h = (h >> jnp.uint32(9)) | jnp.uint32(0x3F800000)  # [1, 2) as float bits
-  return (lax.bitcast_convert_type(h, jnp.float32) - 1.5)
+def _rowsum2(x):
+  """[k,m,m] -> [k,1,1] sum, staged like `_rowmax`."""
+  return jnp.sum(jnp.sum(x, axis=2, keepdims=True), axis=1, keepdims=True)
 
 
-def _power_iteration(mat, pad, m, num_iters=100, tol=1e-6):
-  """Top eigenvalue via matvec power iteration, padding-aware."""
-  row = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-  mask = (row < pad).astype(jnp.float32)
-  v0 = _hash_vector(m) * mask
+def _any(mask):
+  """Rank-0 any() of a [k,1,1] bool (Mosaic-safe while_loop predicate)."""
+  return jnp.max(mask.astype(jnp.float32)) > 0.0
+
+
+def _hash_vector(k, m):
+  """Deterministic pseudo-random start vectors in [-0.5, 0.5), [k,m,1]."""
+  idx = lax.broadcasted_iota(jnp.int32, (k, m, 1), 1)
+  tile = lax.broadcasted_iota(jnp.int32, (k, m, 1), 0)
+  h = ((idx + tile * 7919) * jnp.int32(-1640531535)) ^ jnp.int32(0x1E3779B9)
+  # int32 -> [-0.5, 0.5) without float bit tricks (Mosaic lacks u32->f32).
+  return jnp.abs(h % 65536).astype(jnp.float32) / 65536.0 - 0.5
+
+
+def _power_iteration(mat, row_mask, num_iters=100, tol=1e-6):
+  """Top eigenvalue per matrix via batched matvec power iteration.
+
+  mat: [k,m,m] (already padding-masked); row_mask: [k,m,1].
+  Returns [k,1,1].
+  """
+  k, m, _ = mat.shape
+  v0 = _hash_vector(k, m) * row_mask
 
   def cond(state):
     i, _, _, run = state
@@ -103,125 +146,194 @@ def _power_iteration(mat, pad, m, num_iters=100, tol=1e-6):
 
   def body(state):
     i, v, ev, _ = state
-    v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30)
-    mv = _mm(mat, v)
-    ev_new = jnp.sum(v * mv)
-    return i + 1, mv, ev_new, jnp.abs(ev_new - ev) > tol
+    norm = jnp.sqrt(_rowsum2(v * v))
+    v = v / jnp.maximum(norm, 1e-30)
+    mv = lax.dot_general(
+        mat, v, (((2,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    ev_new = _rowsum2(v * mv)
+    run = _any(jnp.abs(ev_new - ev) > tol)
+    return i + 1, mv, ev_new, run
 
   _, _, ev, _ = lax.while_loop(
-      cond, body, (0, v0, jnp.float32(0.0), True))
+      cond, body, (0, v0, jnp.zeros((k, 1, 1), jnp.float32), True))
   return ev
 
 
-def _newton_solve(mat, p, pad, m, *, num_iters, ridge_epsilon,
-                  error_tolerance, relative_matrix_epsilon,
-                  retry_threshold, num_tries, max_error_ratio):
-  """Full solve for one matrix; returns (root, error, iters, retries)."""
-  eye = _masked_eye(m, pad)
-  rows = lax.broadcasted_iota(jnp.int32, (m, m), 0)
-  cols = lax.broadcasted_iota(jnp.int32, (m, m), 1)
-  valid = ((rows < pad) & (cols < pad)).astype(jnp.float32)
-  mat = mat * valid
+def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
+            ridge_epsilon, error_tolerance, relative_matrix_epsilon,
+            warm_error_threshold, retry_threshold, num_tries,
+            max_error_ratio):
+  if warm:
+    (prevs_ref, roots_ref, err_ref, iters_ref, retries_ref,
+     maxev_ref) = rest
+  else:
+    roots_ref, err_ref, iters_ref, retries_ref, maxev_ref = rest
+    prevs_ref = None
+  g = pl.program_id(0)
+
+  # Per-matrix valid sizes from the prefetched scalar array -> [k,1,1].
+  # (Mosaic can't reshape a 1D scalar stack to [k,1,1]; build it with
+  # k broadcast-selects instead.)
+  tile_idx = lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
+  pads = jnp.zeros((k, 1, 1), jnp.int32)
+  for j in range(k):
+    pads = jnp.where(tile_idx == j, pads_ref[g * k + j], pads)
+
+  rows = lax.broadcasted_iota(jnp.int32, (k, m, m), 1)
+  cols = lax.broadcasted_iota(jnp.int32, (k, m, m), 2)
+  valid = ((rows < pads) & (cols < pads)).astype(jnp.float32)
+  eye = jnp.where((rows == cols) & (rows < pads), 1.0, 0.0).astype(
+      jnp.float32)
+  row_mask = (lax.broadcasted_iota(jnp.int32, (k, m, 1), 1)
+              < pads).astype(jnp.float32)
+
+  mat = stats_ref[...].astype(jnp.float32) * valid
 
   if relative_matrix_epsilon:
-    max_ev = _power_iteration(mat, pad, m)
+    max_ev = _power_iteration(mat, row_mask)
   else:
-    max_ev = jnp.float32(1.0)
+    max_ev = jnp.ones((k, 1, 1), jnp.float32)
   ridge = ridge_epsilon * jnp.maximum(max_ev, 1e-25)
-  alpha = -1.0 / p.astype(jnp.float32)
 
+  pf = float(p)
+  inv_p = 1.0 / pf
+  alpha = -inv_p
+
+  if warm:
+    prev = prevs_ref[...].astype(jnp.float32) * valid
+    mat_c = _bmat_power(prev, p // 2)
+    cmc = _bmm(mat_c, _bmm(mat, mat_c))
+    cmc = 0.5 * (cmc + _transpose(cmc))
+    cc = _bmm(mat_c, mat_c)
+    total_rounds = num_tries + 1
+  else:
+    total_rounds = num_tries
+
+  # Per-member masks live in the while-loop carries as {0,1} float32 —
+  # Mosaic cannot yield i1 vectors across loop boundaries.
   def newton_cond(state):
-    i, _, _, _, error, ratio = state
-    keep = jnp.logical_and(error > error_tolerance, ratio < max_error_ratio)
-    return jnp.logical_and(i < num_iters, keep)
+    i, _, _, _, _, active = state
+    return jnp.logical_and(i < num_iters, jnp.max(active) > 0.0)
 
   def newton_body(state):
-    i, mat_m, mat_h, _, error, _ = state
-    mat_t = (1.0 - alpha) * eye + alpha * mat_m
-    new_m = _mm(_mat_power(mat_t, p, m), mat_m)
-    new_h = _mm(mat_h, mat_t)
-    new_error = jnp.max(jnp.abs(new_m - eye))
-    return i + 1, new_m, new_h, mat_h, new_error, new_error / error
-
-  def retry_cond(state):
-    i, _, _, _, failed = state
-    return jnp.logical_and(failed, i < num_tries)
+    i, mat_m, mat_h, error, iters, active = state
+    mat_t = (1.0 + inv_p) * eye + alpha * mat_m
+    new_m = _bmm(_bmat_power(mat_t, p), mat_m)
+    new_h = _bmm(mat_h, mat_t)
+    new_error = _rowmax(jnp.abs(new_m - eye))
+    ratio = new_error / jnp.maximum(error, 1e-30)
+    # A divergent step is rejected outright: (mat_h, error) stay at the
+    # last good iterate/error pair, which is exactly what the member
+    # should report (the XLA path's old_h rollback, expressed as
+    # never-adopt instead of adopt-then-undo).
+    step_ok = active * (ratio < max_error_ratio).astype(jnp.float32)
+    take = step_ok > 0.5
+    mat_m = jnp.where(take, new_m, mat_m)
+    mat_h = jnp.where(take, new_h, mat_h)
+    error = jnp.where(take, new_error, error)
+    iters = iters + step_ok
+    active = step_ok * (error > error_tolerance).astype(jnp.float32)
+    return i + 1, mat_m, mat_h, error, iters, active
 
   def retry_body(state):
-    i, _, _, _, _ = state
-    # Mosaic has no scalar powf; express powers via exp/log.
-    ridge_scale = jnp.exp(i.astype(jnp.float32) * jnp.float32(2.302585093))
-    damped = mat + ridge * ridge_scale * eye
-    z = (1.0 + p.astype(jnp.float32)) / (
-        2.0 * jnp.sqrt(jnp.sum(damped * damped)))
-    z_root = jnp.exp(jnp.log(z) / p.astype(jnp.float32))
+    rnd, root, error, iters, retries, failed, warm_final = state
+    if warm:
+      ridge_i = ridge * jnp.exp(
+          jnp.maximum(rnd - 1, 0).astype(jnp.float32) * _LN10)
+    else:
+      ridge_i = ridge * jnp.exp(rnd.astype(jnp.float32) * _LN10)
+    damped = mat + ridge_i * eye
+    fro = jnp.sqrt(_rowsum2(damped * damped))
+    z = (1.0 + pf) / (2.0 * jnp.maximum(fro, 1e-30))
     m0 = damped * z
-    h0 = eye * z_root
-    err0 = jnp.max(jnp.abs(m0 - eye))
-    iters, mat_m, mat_h, old_h, error, ratio = lax.while_loop(
+    h0 = eye * jnp.exp(jnp.log(z) * inv_p)
+    if warm:
+      m0_w = cmc + ridge_i * cc
+      bound = jnp.max(jnp.sum(jnp.abs(m0_w), axis=2, keepdims=True),
+                      axis=1, keepdims=True)
+      z_w = jnp.minimum(1.0, (1.0 + pf) / (2.0 * jnp.maximum(bound, 1e-30)))
+      err0_w = _rowmax(jnp.abs(m0_w * z_w - eye))
+      use_warm = ((rnd == 0) & (err0_w <= warm_error_threshold)).astype(
+          jnp.float32)
+      m0 = jnp.where(use_warm > 0.5, m0_w * z_w, m0)
+      h0 = jnp.where(use_warm > 0.5, prev * jnp.exp(jnp.log(z_w) * inv_p), h0)
+    err0 = _rowmax(jnp.abs(m0 - eye))
+    zeros = jnp.zeros((k, 1, 1), jnp.float32)
+    _, _, mat_h, n_error, n_iters, _ = lax.while_loop(
         newton_cond, newton_body,
-        (0, m0, h0, h0, err0, jnp.float32(1.0)))
-    error = jnp.max(jnp.abs(mat_m - eye))
-    converged = (ratio < max_error_ratio).astype(jnp.float32)
-    root = converged * mat_h + (1.0 - converged) * old_h
-    return (i + 1, root, error, iters, error > retry_threshold)
+        (0, m0, h0, err0, zeros,
+         failed * (err0 > error_tolerance).astype(jnp.float32)))
+    # Only members that entered this round adopt its results.
+    entered = failed > 0.5
+    root = jnp.where(entered, mat_h, root)
+    error = jnp.where(entered, n_error, error)
+    iters = jnp.where(entered, n_iters, iters)
+    retries = retries + failed
+    if warm:
+      warm_final = jnp.where(entered, use_warm, warm_final)
+    new_failed = failed * (error > retry_threshold).astype(jnp.float32)
+    return rnd + 1, root, error, iters, retries, new_failed, warm_final
 
-  retries, root, error, iters, _ = lax.while_loop(
-      retry_cond, retry_body,
-      (0, eye, jnp.float32(1000.0), 100, True))
+  def retry_cond(state):
+    rnd, _, _, _, _, failed, _ = state
+    return jnp.logical_and(rnd < total_rounds, jnp.max(failed) > 0.0)
 
-  # Pure-padding matrices produce zeros, not garbage.
-  is_padding = (pad == 0)
+  kmm_zeros = jnp.zeros((k, m, m), jnp.float32)
+  k11 = jnp.zeros((k, 1, 1), jnp.float32)
+  init = (0, kmm_zeros, k11 + 1000.0, k11, k11,
+          jnp.ones((k, 1, 1), jnp.float32), k11)
+  _, root, error, iters, retries, _, warm_final = lax.while_loop(
+      retry_cond, retry_body, init)
+
+  if warm:
+    # The warm limit prev * M0^{-1/p} is symmetric only up to the
+    # certified-small non-commutativity; symmetrise those members.
+    root = jnp.where(warm_final > 0.5, 0.5 * (root + _transpose(root)), root)
+
+  is_padding = (pads == 0)
   root = jnp.where(is_padding, 0.0, root * valid)
   error = jnp.where(is_padding, 0.0, error)
-  return root, error, iters, retries
 
-
-def _kernel(exps_ref, pads_ref, stats_ref, roots_ref, err_ref, iters_ref,
-            retries_ref, maxev_ref, *, m, num_iters, ridge_epsilon,
-            error_tolerance, relative_matrix_epsilon, retry_threshold,
-            num_tries, max_error_ratio):
-  i = pl.program_id(0)
-  p = exps_ref[i]
-  pad = pads_ref[i]
-  mat = stats_ref[0]
-  if relative_matrix_epsilon:
-    maxev = _power_iteration(mat, pad, m)
-  else:
-    maxev = jnp.float32(1.0)
-  root, error, iters, retries = _newton_solve(
-      mat, p, pad, m,
-      num_iters=num_iters, ridge_epsilon=ridge_epsilon,
-      error_tolerance=error_tolerance,
-      relative_matrix_epsilon=relative_matrix_epsilon,
-      retry_threshold=retry_threshold, num_tries=num_tries,
-      max_error_ratio=max_error_ratio)
-  roots_ref[0] = root
-  err_ref[i] = error
-  iters_ref[i] = iters.astype(jnp.float32)
-  retries_ref[i] = retries.astype(jnp.float32)
-  maxev_ref[i] = maxev
+  roots_ref[...] = root
+  # Scalar extraction via one-hot masked full reduces (Mosaic rejects
+  # vector.extract of [k,1,1] elements).
+  neg_inf = jnp.float32(-jnp.inf)
+  for j in range(k):
+    sel = tile_idx == j
+    err_ref[g * k + j] = jnp.max(jnp.where(sel, error, neg_inf))
+    iters_ref[g * k + j] = jnp.max(jnp.where(sel, iters, neg_inf))
+    retries_ref[g * k + j] = jnp.max(jnp.where(sel, retries, neg_inf))
+    maxev_ref[g * k + j] = jnp.max(jnp.where(sel, max_ev, neg_inf))
 
 
 def batched_inverse_pth_root_pallas(
     stats: Array,
-    exponents: Array,
-    padding_starts: Array = None,
+    p: int,
+    padding_starts: Optional[Array] = None,
     *,
+    prevs: Optional[Array] = None,
     num_iters: int = 100,
     ridge_epsilon: float = 1e-6,
     error_tolerance: float = 1e-6,
     relative_matrix_epsilon: bool = True,
+    warm_error_threshold: float = 0.05,
     retry_loop_error_threshold: float = 0.05,
     num_tries: int = 6,
     max_error_ratio: float = 1.2,
+    interpret: bool = False,
 ) -> Tuple[Array, RootMetrics]:
   """Drop-in fused replacement for `pth_root.batched_inverse_pth_root`.
 
   Args:
     stats: ``[N, m, m]`` PSD batch (f32).
-    exponents: ``[N]`` int32 root exponents per matrix.
+    p: static int root exponent shared by the batch (the optimizer solves
+      one exponent bucket per call).
     padding_starts: ``[N]`` int32 valid sizes (defaults to m).
+    prevs: optional ``[N, m, m]`` previous roots for certified warm
+      starts (`reuse_preconditioner`).
+    interpret: run the kernel in the Pallas interpreter (CPU CI).
 
   Returns:
     ``(roots [N, m, m], RootMetrics with [N] leaves)``.
@@ -229,51 +341,72 @@ def batched_inverse_pth_root_pallas(
   n, m, m2 = stats.shape
   assert m == m2, stats.shape
   assert supported(m), f"matrix size {m} unsupported by the pallas kernel"
+  assert isinstance(p, int) and p >= 1, p
   if padding_starts is None:
     padding_starts = jnp.full((n,), m, jnp.int32)
 
+  k = tile_for(m, warm=prevs is not None)
+  pad_n = (-n) % k
+  if pad_n:
+    filler = jnp.broadcast_to(jnp.eye(m, dtype=stats.dtype),
+                              (pad_n, m, m))
+    stats = jnp.concatenate([stats, filler], axis=0)
+    padding_starts = jnp.concatenate(
+        [padding_starts, jnp.zeros((pad_n,), jnp.int32)])
+    if prevs is not None:
+      prevs = jnp.concatenate([prevs, filler.astype(prevs.dtype)], axis=0)
+  total = n + pad_n
+  warm = prevs is not None
+  # Warm starts need an even exponent (C = prev^{p/2}); odd p falls back
+  # to a cold solve, mirroring `matrix_inverse_pth_root`.
+  if warm and p % 2:
+    warm = False
+    prevs = None
+
   kernel = functools.partial(
-      _kernel, m=m, num_iters=num_iters, ridge_epsilon=ridge_epsilon,
-      error_tolerance=error_tolerance,
+      _kernel, p=p, k=k, m=m, warm=warm, num_iters=num_iters,
+      ridge_epsilon=ridge_epsilon, error_tolerance=error_tolerance,
       relative_matrix_epsilon=relative_matrix_epsilon,
+      warm_error_threshold=warm_error_threshold,
       retry_threshold=retry_loop_error_threshold, num_tries=num_tries,
       max_error_ratio=max_error_ratio)
 
+  mat_spec = pl.BlockSpec((k, m, m), lambda i, *_: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+  smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=2,
-      grid=(n,),
-      in_specs=[
-          pl.BlockSpec((1, m, m), lambda i, *_: (i, 0, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_specs=[
-          pl.BlockSpec((1, m, m), lambda i, *_: (i, 0, 0),
-                       memory_space=pltpu.VMEM),
-          # Scalar outputs live whole in SMEM, indexed by program_id.
-          pl.BlockSpec(memory_space=pltpu.SMEM),
-          pl.BlockSpec(memory_space=pltpu.SMEM),
-          pl.BlockSpec(memory_space=pltpu.SMEM),
-          pl.BlockSpec(memory_space=pltpu.SMEM),
-      ],
+      num_scalar_prefetch=1,
+      grid=(total // k,),
+      in_specs=[mat_spec] * (2 if warm else 1),
+      out_specs=[mat_spec, smem_spec, smem_spec, smem_spec, smem_spec],
   )
 
-  flops_per = 5 * 2 * m * m * m * 40  # ~5 matmuls x ~40 iterations
+  # ~5 batched matmuls x ~25 amortised iterations per matrix.
+  flops_per = 5 * 2 * m * m * m * 25
+  args = [padding_starts.astype(jnp.int32), stats.astype(jnp.float32)]
+  if warm:
+    args.append(prevs.astype(jnp.float32))
   roots, errors, iters, retries, maxevs = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
       out_shape=[
-          jax.ShapeDtypeStruct((n, m, m), jnp.float32),
-          jax.ShapeDtypeStruct((n,), jnp.float32),
-          jax.ShapeDtypeStruct((n,), jnp.float32),
-          jax.ShapeDtypeStruct((n,), jnp.float32),
-          jax.ShapeDtypeStruct((n,), jnp.float32),
+          jax.ShapeDtypeStruct((total, m, m), jnp.float32),
+          jax.ShapeDtypeStruct((total,), jnp.float32),
+          jax.ShapeDtypeStruct((total,), jnp.float32),
+          jax.ShapeDtypeStruct((total,), jnp.float32),
+          jax.ShapeDtypeStruct((total,), jnp.float32),
       ],
       cost_estimate=pl.CostEstimate(
-          flops=flops_per * n,
-          bytes_accessed=2 * n * m * m * 4,
+          flops=flops_per * total,
+          bytes_accessed=(3 if warm else 2) * total * m * m * 4,
           transcendentals=0),
-  )(exponents.astype(jnp.int32), padding_starts.astype(jnp.int32),
-    stats.astype(jnp.float32))
+      interpret=interpret,
+  )(*args)
+
+  if pad_n:
+    roots = roots[:n]
+    errors, iters, retries, maxevs = (
+        errors[:n], iters[:n], retries[:n], maxevs[:n])
 
   metrics = RootMetrics(
       error=errors,
@@ -281,4 +414,4 @@ def batched_inverse_pth_root_pallas(
       error_ratio=jnp.zeros_like(errors),
       max_eigenvalue=maxevs,
       retries=retries)
-  return roots, metrics
+  return roots.astype(stats.dtype), metrics

@@ -230,6 +230,7 @@ def matrix_inverse_pth_root(
     num_tries: int = 6,
     max_error_ratio: float = 1.2,
     newton_unroll: Optional[int] = None,
+    warm_error_threshold: float = 0.05,
 ) -> Tuple[Array, RootMetrics]:
   """``(matrix + eps I)^{-1/p}`` via coupled Newton with production guards.
 
@@ -249,9 +250,26 @@ def matrix_inverse_pth_root(
   * ``lobpcg_topk_precondition``: deflate the top-k eigenpairs before the
     Newton solve (cuts the condition number), then re-deflate the root with
     the stable `pth_root_difference`.
-
-  Args mirror the reference's public signature so downstream layers can be
-  configured identically. ``prev`` (warm start) is accepted for API parity.
+  * ``prev``: warm start from the previous solve's root.  The reference
+    plumbs ``prev`` into this kernel but then discards it
+    (`distributed_shampoo.py:764` is literally ``del prev``); here it is
+    implemented.  Because the coupled iteration's correctness argument
+    needs all iterates to commute, a naive ``H_0 = prev`` start computes
+    the wrong matrix.  Instead the first retry round solves the
+    *preconditioned* problem: with ``C = prev^{p/2}`` the transformed
+    matrix ``M_0 = C (A + eps I) C`` is ~I when statistics moved little,
+    so the same inner iteration converges in 1-2 steps to
+    ``H = prev * M_0^{-1/p}``.  ``|M_0 - I|`` doubles as the warm-quality
+    certificate (see ``warm_error_threshold`` in the body): it bounds
+    ``|prev - (A + eps I)^{-1/p}|`` because the SPD solution of
+    ``C X C = I`` is unique, so both the non-commutativity error of the
+    warm fixed point and garbage ``prev`` inputs are caught *before* the
+    iteration runs; a failing prev falls through to the ordinary cold
+    ladder.  The warm result is exact when ``prev`` commutes with ``A``
+    (in particular when statistics are unchanged) and the drift is
+    first-order in the per-recompute statistics change — it does not
+    accumulate across solves, because each fixed point is anchored to
+    the current statistics.
 
   Returns:
     ``(root, RootMetrics)``; root in ``matrix.dtype``.
@@ -261,7 +279,14 @@ def matrix_inverse_pth_root(
         matrix, p, ridge_epsilon, error_tolerance, precision,
         relative_matrix_epsilon, padding_start, prev,
     )
-  del prev
+  # Warm starts need an even static exponent (C = prev^{p/2} must be an
+  # integer matrix power). Shampoo exponents are always 2 * #factored-axes.
+  # LOBPCG deflation changes the matrix the Newton loop actually solves,
+  # so `prev` (a root of the undeflated problem) cannot seed it.
+  warm = (prev is not None and isinstance(p, int) and p > 0 and p % 2 == 0
+          and lobpcg_topk_precondition == 0)
+  if not warm:
+    prev = None
 
   assert matrix.shape[-1] == matrix.shape[-2]
   n = matrix.shape[-1]
@@ -335,24 +360,70 @@ def matrix_inverse_pth_root(
     ratio = jnp.zeros([], jnp.float32)
     retries = jnp.zeros([], jnp.float32)
   else:
+    if warm:
+      # Precompute the pieces of the transformed warm problem once:
+      # C (A + r I) C = CMC + r * CC for any ridge r the ladder picks.
+      prev_w = prev.astype(work)
+      if padding_start is not None:
+        ixw = _padding_mask(n, padding_start, work)
+        prev_w = prev_w * ixw[None, :] * ixw[:, None]
+      mat_c = mat_power(prev_w, p // 2, precision)
+      cmc = jnp.matmul(mat_c, jnp.matmul(matrix, mat_c, precision=precision),
+                       precision=precision)
+      cmc = 0.5 * (cmc + cmc.T)
+      cc = jnp.matmul(mat_c, mat_c, precision=precision)
+      # Ladder rounds: 0 = warm attempt at the base ridge; i >= 1 = cold
+      # solves with ridge * 10^(i-1), i.e. the full cold ladder runs if
+      # the warm attempt misses the acceptance threshold.
+      total_rounds = num_tries + 1
+    else:
+      total_rounds = num_tries
 
     def retry_cond(state):
       i, _, _, _, _, failed = state
-      return jnp.logical_and(failed, i < num_tries)
+      return jnp.logical_and(failed, i < total_rounds)
 
     def retry_body(state):
       i, _, _, _, _, _ = state
-      damped = matrix + ridge * (10.0**i) * identity
+      if warm:
+        ridge_i = ridge * 10.0 ** jnp.maximum(i - 1, 0).astype(work)
+      else:
+        ridge_i = ridge * (10.0 ** i)
+      damped = matrix + ridge_i * identity
       # z scales the spectrum into the Newton basin of attraction.
       z = (1 + p) / (2 * jnp.linalg.norm(damped))
       m0 = damped * z
       h0 = identity * jnp.power(z, 1.0 / p)
+      if warm:
+        m0_w = cmc + ridge_i * cc
+        # Row-sum bound on the top eigenvalue; when M0 ~ I this keeps
+        # z_w = 1 so a near-perfect prev converges in one iteration (the
+        # Frobenius scaling the cold path uses would shrink the spectrum
+        # by ~sqrt(n) and throw the warm start away).
+        bound = jnp.max(jnp.sum(jnp.abs(m0_w), axis=-1))
+        z_w = jnp.minimum(1.0, (1 + p) / (2 * jnp.maximum(bound, _EPSILON)))
+        err0_w = jnp.max(jnp.abs(m0_w * z_w - identity))
+        # err0_w doubles as the warm-quality certificate: for SPD C the
+        # equation C (A + r I) C = I has the *unique* solution
+        # C = (A + r I)^{-1/2}, so a small |M0 - I| forces
+        # prev ~ (A + r I)^{-1/p} in norm and bounds the
+        # non-commutativity error of the warm fixed point.  A prev that
+        # fails the bound (stale, garbage, or all-zero) falls through to
+        # the ordinary cold start in the same round.
+        use_warm = jnp.logical_and(i == 0, err0_w <= warm_error_threshold)
+        m0 = jnp.where(use_warm, m0_w * z_w, m0)
+        h0 = jnp.where(use_warm, prev_w * jnp.power(z_w, 1.0 / p), h0)
       err0 = jnp.max(jnp.abs(m0 - identity))
       iters, mat_m, mat_h, old_h, error, ratio = lax.while_loop(
           newton_cond, newton_body, (0, m0, h0, h0, err0, jnp.asarray(1.0, work)))
       error = jnp.max(jnp.abs(mat_m - identity)).astype(jnp.float32)
       converged = jnp.asarray(ratio < max_error_ratio, mat_h.dtype)
       root = converged * mat_h + (1 - converged) * old_h
+      if warm:
+        # The warm limit prev * M0^{-1/p} is only symmetric up to the
+        # (certified-small) non-commutativity; symmetrise so downstream
+        # contractions see an exactly symmetric preconditioner.
+        root = 0.5 * (root + root.T)
       return (i + 1, root, error, jnp.asarray(iters, jnp.float32),
               jnp.asarray(ratio, jnp.float32),
               error > retry_loop_error_threshold)
@@ -467,6 +538,7 @@ def batched_inverse_pth_root(
     stats: Array,
     exponents: Union[int, Array],
     padding_starts: Optional[Array] = None,
+    prevs: Optional[Array] = None,
     **kwargs,
 ) -> Tuple[Array, RootMetrics]:
   """vmap of `matrix_inverse_pth_root` over a stacked ``[B, n, n]`` batch.
@@ -479,14 +551,27 @@ def batched_inverse_pth_root(
   the inner `mat_power` then unrolls statically, which is several times
   faster on TPU than the traced-exponent path (the optimizer buckets
   statistics by exponent to exploit this).
+
+  ``prevs`` (``[B, n, n]``, optional) warm-starts each solve from the
+  previous roots; under vmap the whole batch pays the iteration count of
+  its slowest member, so warm starts pay off exactly when the batch is
+  uniformly near-converged — the production steady state.
   """
   fn = functools.partial(matrix_inverse_pth_root, **kwargs)
-  if isinstance(exponents, int):
-    if padding_starts is None:
-      return jax.vmap(lambda m: fn(m, exponents))(stats)
-    return jax.vmap(lambda m, s: fn(m, exponents, padding_start=s))(
-        stats, padding_starts)
   if padding_starts is None:
-    return jax.vmap(lambda m, p: fn(m, p))(stats, exponents)
+    padding_starts = jnp.full((stats.shape[0],), stats.shape[-1], jnp.int32)
+  if isinstance(exponents, int):
+    if prevs is None:
+      return jax.vmap(lambda m, s: fn(m, exponents, padding_start=s))(
+          stats, padding_starts)
+    return jax.vmap(
+        lambda m, s, w: fn(m, exponents, padding_start=s, prev=w))(
+            stats, padding_starts, prevs)
+  if prevs is None:
+    return jax.vmap(lambda m, p, s: fn(m, p, padding_start=s))(
+        stats, exponents, padding_starts)
+  # Traced exponents cannot warm start (C = prev^{p/2} needs a static p);
+  # matrix_inverse_pth_root ignores prev in that case, so don't pay the
+  # vmap plumbing for it.
   return jax.vmap(lambda m, p, s: fn(m, p, padding_start=s))(
       stats, exponents, padding_starts)

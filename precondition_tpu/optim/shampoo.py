@@ -433,34 +433,39 @@ def distributed_shampoo(
       lobpcg_max_iter=lobpcg_max_iter,
       eigh=eigh)
 
-  def _solve_batched(stacked, exps, pads):
+  def _solve_batched(stacked, exps, pads, prevs=None):
     """vmap the root solve over the stacked batch [N, m, m].
 
     ``exps`` may be a python int (whole batch shares one exponent — the hot
     path; `mat_power` unrolls statically) or a per-matrix array.
+
+    ``prevs`` (when ``reuse_preconditioner``) warm-starts each solve from
+    the previous root — see `pth_root.matrix_inverse_pth_root`.
 
     ``solver_backend='pallas'`` routes supported sizes through the fused
     VMEM-resident kernel (`ops.pallas.newton_root`) — per-matrix early
     exit; profitable when iteration counts vary a lot across the batch.
     """
     if (solver_backend == "pallas" and not eigh
-        and lobpcg_topk_precondition == 0):
+        and lobpcg_topk_precondition == 0 and isinstance(exps, int)):
       from precondition_tpu.ops.pallas import newton_root
 
       if newton_root.supported(stacked.shape[-1]):
-        exps_arr = (jnp.full((stacked.shape[0],), exps, jnp.int32)
-                    if isinstance(exps, int) else exps)
         return newton_root.batched_inverse_pth_root_pallas(
-            stacked, exps_arr, pads,
+            stacked, exps, pads, prevs=prevs,
             ridge_epsilon=matrix_epsilon,
             relative_matrix_epsilon=relative_matrix_epsilon)
     if isinstance(exps, int):
+      if prevs is None:
+        return jax.vmap(
+            lambda s, d: solve_one(s, exps, padding_start=d))(stacked, pads)
       return jax.vmap(
-          lambda s, d: solve_one(s, exps, padding_start=d))(stacked, pads)
+          lambda s, d, w: solve_one(s, exps, padding_start=d, prev=w))(
+              stacked, pads, prevs)
     return jax.vmap(
         lambda s, p, d: solve_one(s, p, padding_start=d))(stacked, exps, pads)
 
-  def _distributed_solve(stacked, exps, pads):
+  def _distributed_solve(stacked, exps, pads, prevs=None):
     """Shard the stacked solve across devices, then regather.
 
     TPU mapping: each device solves an equal slice of the Newton batches;
@@ -475,7 +480,9 @@ def distributed_shampoo(
       me = lax.axis_index(batch_axis_name)
       sl = lambda x: lax.dynamic_slice_in_dim(x, me * per, per)
       exps_slice = exps if isinstance(exps, int) else sl(exps)
-      roots, metrics = _solve_batched(sl(stacked), exps_slice, sl(pads))
+      roots, metrics = _solve_batched(
+          sl(stacked), exps_slice, sl(pads),
+          None if prevs is None else sl(prevs))
       roots = jnp.reshape(lax.all_gather(roots, batch_axis_name),
                           (n,) + roots.shape[1:])
       metrics = jax.tree.map(
@@ -500,12 +507,14 @@ def distributed_shampoo(
       if not isinstance(exps, int):
         exps = lax.with_sharding_constraint(exps, lead_spec)
       pads = lax.with_sharding_constraint(pads, lead_spec)
-      roots, metrics = _solve_batched(stacked, exps, pads)
+      if prevs is not None:
+        prevs = lax.with_sharding_constraint(prevs, solve_spec)
+      roots, metrics = _solve_batched(stacked, exps, pads, prevs)
       roots = lax.with_sharding_constraint(roots, solve_spec)
       roots = lax.with_sharding_constraint(roots, statistics_partition_spec)
       metrics = lax.with_sharding_constraint(metrics, repl_spec)
       return roots, metrics
-    return _solve_batched(stacked, exps, pads)
+    return _solve_batched(stacked, exps, pads, prevs)
 
   def _update_preconditioners(states, params, step):
     """Solve inverse roots for every statistic across all params at once."""
@@ -564,7 +573,19 @@ def distributed_shampoo(
                      for _ in range(to_pad))
           grp_pads = jnp.asarray(
               [sizes[i] for i in idxs] + [0] * to_pad, jnp.int32)
-          roots, metrics = _distributed_solve(jnp.stack(grp), exp, grp_pads)
+          grp_prevs = None
+          if reuse_preconditioner:
+            # Warm-start each solve from the previous accepted root; the
+            # kernel certifies warm quality per matrix and falls back to
+            # the cold ladder on its own, so the step-0 identity
+            # preconditioners are safe inputs.
+            prevs_list = [shape_utils.pad_square_matrix(prev_pre[i], max_size)
+                          for i in idxs]
+            prevs_list.extend(jnp.eye(max_size, dtype=grp[0].dtype)
+                              for _ in range(to_pad))
+            grp_prevs = jnp.stack(prevs_list)
+          roots, metrics = _distributed_solve(
+              jnp.stack(grp), exp, grp_pads, grp_prevs)
         elif mode == "lowrank":
           stacked = jnp.stack([padded[i] for i in idxs])
           roots, metrics = jax.vmap(
@@ -780,6 +801,7 @@ def distributed_shampoo(
         inverse_failure_threshold=inverse_failure_threshold,
         generate_training_metrics=generate_training_metrics,
         init_metrics=_init_metrics,
+        reuse_preconditioner=reuse_preconditioner,
     )
     return optax.GradientTransformation(init_fn_state, sharded_update_fn)
 

@@ -90,6 +90,7 @@ def make_sharded_fns(
     inverse_failure_threshold,
     generate_training_metrics,
     init_metrics,
+    reuse_preconditioner=False,
 ):
   """Build (init_fn_state_factory, sharded_update_fn).
 
@@ -332,8 +333,13 @@ def make_sharded_fns(
       root_parts = []
       metric_parts = []
       for exp, start, count in groups:
+        # Warm-start from the (already stacked, slot-aligned) previous
+        # roots; quality is certified per matrix inside the kernel.
+        prevs = (global_stats.preconditioners[start:start + count]
+                 if reuse_preconditioner else None)
         r, met = solve_batched(
-            xs[start:start + count], exp, pads[start:start + count])
+            xs[start:start + count], exp, pads[start:start + count],
+            prevs)
         root_parts.append(r)
         metric_parts.append(met)
       roots = jnp.concatenate(root_parts, axis=0)

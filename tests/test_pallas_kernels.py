@@ -1,8 +1,9 @@
-"""Pallas kernel tests (run on TPU; skipped on CPU backends).
+"""Pallas kernel tests.
 
-The unit-test conftest forces the CPU backend, so these are exercised by
-`benchmarks/` drives and the TPU bench; here we keep interpret-mode checks
-cheap enough for CPU CI.
+The fused tile kernel (`ops/pallas/newton_root.py`) runs in interpret
+mode here so every semantic branch — cold solves, certified warm starts,
+padding masks, the retry ladder, tile padding — is exercised on the CPU
+CI backend; the TPU benches drive the compiled kernel.
 """
 
 import numpy as np
@@ -12,13 +13,12 @@ import jax
 import jax.numpy as jnp
 
 from precondition_tpu.ops import pth_root
+from precondition_tpu.ops.pallas import newton_root
 
 
-def _tpu_available():
-  try:
-    return jax.devices()[0].platform not in ("cpu",)
-  except Exception:  # pylint: disable=broad-except
-    return False
+def _psd_batch(rng, n, m, ridge=0.1):
+  a = rng.randn(n, m, m).astype(np.float32)
+  return jnp.einsum("nij,nkj->nik", a, a) / m + ridge * jnp.eye(m)[None]
 
 
 class TestStaticMatPower:
@@ -43,22 +43,113 @@ class TestStaticMatPower:
     np.testing.assert_allclose(m_static.error, m_dyn.error, rtol=1e-3)
 
 
-@pytest.mark.skipif(not _tpu_available(), reason="needs a TPU backend")
 class TestNewtonRootKernel:
+  """Interpret-mode parity of the fused tile kernel vs the XLA path."""
 
-  def test_matches_xla_path(self):
-    from precondition_tpu.ops.pallas import newton_root
-
-    rng = np.random.RandomState(0)
-    n, m = 8, 128
-    s = rng.randn(n, m, m).astype(np.float32)
-    stats = jnp.einsum("nij,nkj->nik", s, s) / m
-    exps = jnp.full((n,), 4, jnp.int32)
+  @pytest.mark.parametrize("p", [2, 4, 8])
+  def test_cold_matches_xla(self, p):
+    rng = np.random.RandomState(p)
+    n, m = 12, 16
+    stats = _psd_batch(rng, n, m)
     pads = jnp.full((n,), m, jnp.int32)
     roots_p, met_p = newton_root.batched_inverse_pth_root_pallas(
-        stats, exps, pads)
-    roots_x, met_x = pth_root.batched_inverse_pth_root(stats, 4, pads)
+        stats, p, pads, interpret=True)
+    roots_x, met_x = pth_root.batched_inverse_pth_root(stats, p, pads)
     assert float(jnp.max(met_p.error)) < 1e-4
-    rel = float(jnp.max(jnp.abs(roots_p - roots_x))) / float(
-        jnp.max(jnp.abs(roots_x)))
-    assert rel < 5e-3, rel
+    np.testing.assert_allclose(roots_p, roots_x, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(met_p.iterations, met_x.iterations)
+
+  def test_tile_padding(self):
+    """n not a multiple of the tile; padded slots must not leak out."""
+    rng = np.random.RandomState(1)
+    n, m = 5, 16  # tile_for(16) == 8 -> pads 3 filler matrices
+    stats = _psd_batch(rng, n, m)
+    pads = jnp.full((n,), m, jnp.int32)
+    roots, met = newton_root.batched_inverse_pth_root_pallas(
+        stats, 4, pads, interpret=True)
+    assert roots.shape == (n, m, m)
+    assert met.error.shape == (n,)
+    roots_x, _ = pth_root.batched_inverse_pth_root(stats, 4, pads)
+    np.testing.assert_allclose(roots, roots_x, rtol=1e-3, atol=1e-5)
+
+  def test_padding_masks(self):
+    """Mixed valid sizes, including a pure-padding member."""
+    rng = np.random.RandomState(2)
+    n, m = 8, 16
+    stats = np.array(_psd_batch(rng, n, m))
+    sizes = [16, 12, 8, 0, 16, 4, 16, 16]
+    for i, d in enumerate(sizes):
+      stats[i, d:, :] = 0.0
+      stats[i, :, d:] = 0.0
+    stats = jnp.asarray(stats)
+    pads = jnp.asarray(sizes, jnp.int32)
+    roots, met = newton_root.batched_inverse_pth_root_pallas(
+        stats, 4, pads, interpret=True)
+    roots_x, _ = pth_root.batched_inverse_pth_root(stats, 4, pads)
+    np.testing.assert_allclose(roots, roots_x, rtol=1e-3, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(roots[3]), 0.0)
+    assert float(met.error[3]) == 0.0
+
+  def test_warm_start_parity_and_fewer_iters(self):
+    rng = np.random.RandomState(3)
+    n, m = 8, 16
+    stats = _psd_batch(rng, n, m)
+    pads = jnp.full((n,), m, jnp.int32)
+    cold, met_cold = newton_root.batched_inverse_pth_root_pallas(
+        stats, 4, pads, interpret=True)
+    drifted = 0.999 * stats + 0.001 * _psd_batch(
+        np.random.RandomState(4), n, m)
+    warm, met_warm = newton_root.batched_inverse_pth_root_pallas(
+        drifted, 4, pads, prevs=cold, interpret=True)
+    ref, met_ref = pth_root.batched_inverse_pth_root(drifted, 4, pads)
+    np.testing.assert_allclose(warm, ref, rtol=1e-3, atol=1e-4)
+    assert float(jnp.max(met_warm.iterations)) < float(
+        jnp.max(met_ref.iterations))
+    assert float(jnp.max(met_warm.error)) < 1e-4
+
+  def test_garbage_prev_falls_back_to_cold(self):
+    """The warm certificate must reject a nonsense prev per matrix."""
+    rng = np.random.RandomState(5)
+    n, m = 4, 16
+    stats = _psd_batch(rng, n, m)
+    pads = jnp.full((n,), m, jnp.int32)
+    garbage = jnp.asarray(rng.randn(n, m, m).astype(np.float32) * 100.0)
+    roots, met = newton_root.batched_inverse_pth_root_pallas(
+        stats, 4, pads, prevs=garbage, interpret=True)
+    ref, _ = pth_root.batched_inverse_pth_root(stats, 4, pads)
+    np.testing.assert_allclose(roots, ref, rtol=1e-3, atol=1e-5)
+    assert float(jnp.max(met.error)) < 1e-4
+
+  def test_odd_exponent_warm_is_cold(self):
+    """Odd p cannot form C = prev^{p/2}; prevs must be ignored."""
+    rng = np.random.RandomState(6)
+    n, m = 4, 16
+    stats = _psd_batch(rng, n, m)
+    pads = jnp.full((n,), m, jnp.int32)
+    prev = jnp.broadcast_to(jnp.eye(m), (n, m, m))
+    with_prev, _ = newton_root.batched_inverse_pth_root_pallas(
+        stats, 3, pads, prevs=prev, interpret=True)
+    without, _ = newton_root.batched_inverse_pth_root_pallas(
+        stats, 3, pads, interpret=True)
+    np.testing.assert_array_equal(np.asarray(with_prev), np.asarray(without))
+
+  def test_retry_ladder_ill_conditioned(self):
+    """A near-singular member escalates its ridge without derailing the
+    tile's healthy members."""
+    rng = np.random.RandomState(7)
+    n, m = 8, 16
+    stats = np.array(_psd_batch(rng, n, m, ridge=0.05))
+    # member 0: condition number ~1e12 via a tiny spectrum tail
+    q, _ = np.linalg.qr(rng.randn(m, m))
+    eigs = np.logspace(0, -12, m)
+    stats[0] = (q * eigs).dot(q.T).astype(np.float32)
+    stats = jnp.asarray(stats)
+    pads = jnp.full((n,), m, jnp.int32)
+    roots, met = newton_root.batched_inverse_pth_root_pallas(
+        stats, 4, pads, interpret=True)
+    roots_x, met_x = pth_root.batched_inverse_pth_root(stats, 4, pads)
+    assert bool(jnp.all(jnp.isfinite(roots)))
+    # Healthy members still match the XLA path exactly.
+    np.testing.assert_allclose(roots[1:], roots_x[1:], rtol=1e-3, atol=1e-5)
+    # The ill-conditioned member took the same number of ladder rounds.
+    assert float(met.retries[0]) == float(met_x.retries[0])

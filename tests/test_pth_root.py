@@ -249,3 +249,103 @@ class TestAgainstUpstream:
       want = ref._pth_root_difference(
           jnp.float32(1e-3), jnp.float32(0.5), jnp.float32(0.25), p)
       np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestWarmStart:
+  """`prev` warm starts (the transformed-problem formulation).
+
+  The reference accepts `prev` but discards it (`distributed_shampoo.py:764`
+  is `del prev`); these tests pin down the semantics our implementation
+  adds: warm == cold at solver tolerance, certified fallback on bad prevs,
+  fewer iterations on near-converged statistics.
+  """
+
+  def _drifted_pair(self, rng, n=16, condition=1e4, decay=0.999):
+    mat = _conditioned_matrix(rng, n, condition)
+    grad = rng.randn(n, 4).astype(np.float32)
+    drifted = decay * mat + (1 - decay) * grad.dot(grad.T) / 4
+    return jnp.asarray(mat), jnp.asarray(drifted)
+
+  @pytest.mark.parametrize("p", [2, 4, 8])
+  def test_warm_matches_cold(self, p):
+    rng = np.random.RandomState(p)
+    mat, drifted = self._drifted_pair(rng)
+    cold0, _ = pth_root.matrix_inverse_pth_root(mat, p)
+    warm, m_warm = pth_root.matrix_inverse_pth_root(drifted, p, prev=cold0)
+    cold, m_cold = pth_root.matrix_inverse_pth_root(drifted, p)
+    np.testing.assert_allclose(warm, cold, rtol=1e-3, atol=1e-4)
+    assert float(m_warm.iterations) <= float(m_cold.iterations)
+    assert float(m_warm.error) < 1e-3
+
+  def test_warm_fewer_iterations_near_converged(self):
+    rng = np.random.RandomState(0)
+    mat, drifted = self._drifted_pair(rng, condition=1e3)
+    cold0, _ = pth_root.matrix_inverse_pth_root(mat, 4)
+    warm, m_warm = pth_root.matrix_inverse_pth_root(drifted, 4, prev=cold0)
+    _, m_cold = pth_root.matrix_inverse_pth_root(drifted, 4)
+    assert float(m_warm.iterations) <= 3
+    assert float(m_cold.iterations) > float(m_warm.iterations)
+
+  def test_garbage_prev_certified_fallback(self):
+    rng = np.random.RandomState(1)
+    mat = jnp.asarray(_conditioned_matrix(rng, 16, 1e4))
+    garbage = jnp.asarray(rng.randn(16, 16).astype(np.float32) * 100.0)
+    warm, m_warm = pth_root.matrix_inverse_pth_root(mat, 4, prev=garbage)
+    cold, _ = pth_root.matrix_inverse_pth_root(mat, 4)
+    np.testing.assert_allclose(warm, cold, rtol=1e-4, atol=1e-5)
+    assert float(m_warm.error) < 1e-3
+
+  def test_zero_prev_certified_fallback(self):
+    rng = np.random.RandomState(2)
+    mat = jnp.asarray(_conditioned_matrix(rng, 16, 1e2))
+    warm, _ = pth_root.matrix_inverse_pth_root(
+        mat, 4, prev=jnp.zeros((16, 16)))
+    cold, _ = pth_root.matrix_inverse_pth_root(mat, 4)
+    np.testing.assert_allclose(warm, cold, rtol=1e-4, atol=1e-5)
+
+  def test_identical_stats_one_iteration(self):
+    """Unchanged statistics: the warm certificate sees M0 == I and the
+    solve exits immediately with prev (the commuting exact case)."""
+    rng = np.random.RandomState(3)
+    mat = jnp.asarray(_conditioned_matrix(rng, 16, 1e3))
+    cold, _ = pth_root.matrix_inverse_pth_root(mat, 4)
+    warm, m_warm = pth_root.matrix_inverse_pth_root(mat, 4, prev=cold)
+    assert float(m_warm.iterations) <= 1
+    np.testing.assert_allclose(warm, cold, rtol=1e-4, atol=1e-5)
+
+  def test_odd_exponent_ignores_prev(self):
+    rng = np.random.RandomState(4)
+    mat = jnp.asarray(_conditioned_matrix(rng, 12, 1e2))
+    cold, _ = pth_root.matrix_inverse_pth_root(mat, 3)
+    warm, _ = pth_root.matrix_inverse_pth_root(mat, 3, prev=cold)
+    np.testing.assert_array_equal(np.asarray(warm), np.asarray(cold))
+
+  def test_warm_with_padding(self):
+    rng = np.random.RandomState(5)
+    mat = _conditioned_matrix(rng, 8, 1e3)
+    padded = np.zeros((12, 12), np.float32)
+    padded[:8, :8] = mat
+    cold, _ = pth_root.matrix_inverse_pth_root(
+        jnp.asarray(padded), 4, padding_start=8)
+    warm, m_warm = pth_root.matrix_inverse_pth_root(
+        jnp.asarray(padded) * 1.001, 4, padding_start=8, prev=cold)
+    np.testing.assert_array_equal(np.asarray(warm)[8:, :], 0.0)
+    base, _ = pth_root.matrix_inverse_pth_root(
+        jnp.asarray(padded) * 1.001, 4, padding_start=8)
+    np.testing.assert_allclose(warm, base, rtol=1e-3, atol=1e-4)
+
+  def test_batched_warm(self):
+    rng = np.random.RandomState(6)
+    stats = []
+    for i in range(6):
+      stats.append(_conditioned_matrix(rng, 12, 10.0 ** (1 + i % 4)))
+    stats = jnp.asarray(np.stack(stats))
+    pads = jnp.full((6,), 12, jnp.int32)
+    cold, _ = pth_root.batched_inverse_pth_root(stats, 4, pads)
+    drifted = stats * 1.002
+    warm, m_warm = pth_root.batched_inverse_pth_root(
+        drifted, 4, pads, prevs=cold)
+    ref, m_ref = pth_root.batched_inverse_pth_root(drifted, 4, pads)
+    np.testing.assert_allclose(warm, ref, rtol=1e-3, atol=1e-4)
+    assert float(jnp.max(m_warm.iterations)) <= float(
+        jnp.max(m_ref.iterations))

@@ -129,6 +129,36 @@ class TestShampoo:
     self._compare_with_upstream(kwargs, kwargs)
 
   @requires_reference
+  def test_matches_upstream_reuse_preconditioner(self):
+    # The reference accepts reuse_preconditioner but discards the plumbed
+    # prev (`distributed_shampoo.py:764`); ours actually warm-starts, so
+    # parity holds at the solver tolerance rather than bit-tight.
+    self._compare_with_upstream(
+        dict(reuse_preconditioner=True), dict(reuse_preconditioner=True),
+        rtol=2e-3, atol=2e-4)
+
+  def test_reuse_preconditioner_matches_cold(self):
+    # Warm-started roots must reproduce the cold trajectory within the
+    # solver tolerance on every step.
+    params, grads = _fixture()
+    warm_tx = shampoo.distributed_shampoo(**COMMON,
+                                          reuse_preconditioner=True)
+    cold_tx = shampoo.distributed_shampoo(**COMMON)
+    warm_state, cold_state = warm_tx.init(params), cold_tx.init(params)
+    warm_params, cold_params = params, params
+    for step, g in enumerate(grads):
+      warm_up, warm_state = warm_tx.update(g, warm_state, warm_params)
+      cold_up, cold_state = cold_tx.update(g, cold_state, cold_params)
+      chex.assert_trees_all_close(
+          warm_up, cold_up, rtol=2e-3, atol=2e-4,
+          custom_message=f"step {step}")
+      warm_params = jax.tree.map(lambda p, u: p + u, warm_params, warm_up)
+      cold_params = jax.tree.map(lambda p, u: p + u, cold_params, cold_up)
+    # And the warm path's roots must be accepted (no failure fallback):
+    errors = warm_state.stats["w"].training_metrics.error
+    assert float(jnp.max(errors)) < 0.1
+
+  @requires_reference
   @pytest.mark.parametrize("kwargs", [
       dict(compression_rank=1),
       dict(compression_rank=-1),
@@ -266,6 +296,34 @@ class TestShardedMode:
         ref_u, ref_s = ref_tx.update(g, ref_s, params)
         chex.assert_trees_all_close(
             ours_u, ref_u, rtol=2e-4, atol=5e-5,
+            custom_message=f"step {step}")
+
+  def test_sharded_reuse_preconditioner_matches_cold(self):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(4, 3) * 0.5, jnp.float32),
+              "t": jnp.asarray(rng.randn(2, 3, 4) * 0.5, jnp.float32)}
+    grads = [jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, jnp.float32),
+        params) for _ in range(5)]
+    mesh = Mesh(np.array(jax.devices()[:1]), ("d",))
+    repl = NamedSharding(mesh, P())
+    kw = dict(learning_rate=0.1, block_size=8, start_preconditioning_step=2,
+              shard_optimizer_states=True, num_devices_for_pjit=1,
+              statistics_partition_spec=repl,
+              preconditioner_partition_spec=repl,
+              graft_type=shampoo.GraftingType.RMSPROP)
+    warm_tx = shampoo.distributed_shampoo(**kw, reuse_preconditioner=True)
+    cold_tx = shampoo.distributed_shampoo(**kw)
+    with jax.sharding.set_mesh(mesh):
+      warm_s = warm_tx.init(None).init_fn(params)
+      cold_s = cold_tx.init(None).init_fn(params)
+      for step, g in enumerate(grads):
+        warm_u, warm_s = warm_tx.update(g, warm_s, params)
+        cold_u, cold_s = cold_tx.update(g, cold_s, params)
+        chex.assert_trees_all_close(
+            warm_u, cold_u, rtol=2e-3, atol=2e-4,
             custom_message=f"step {step}")
 
 
