@@ -186,11 +186,16 @@ def fd_update_root(
     decay: float = 1.0,
     padding_start: Union[int, Array, None] = None,
     prev: Optional[Array] = None,
+    generate_fd_metrics: bool = False,
 ) -> Tuple[Array, RootMetrics]:
   """One frequent-directions step of the packed preconditioner.
 
   ``new_grad`` is the (zero-padded) Cholesky factor of the new gradient's
   Gram matrix; ``prev`` the previous packed ``[d, rank+2]`` buffer.
+
+  ``generate_fd_metrics`` attaches the 20-field sketch health report
+  (`utils.diagnostics.FDDiagnostics`; parity:
+  `distributed_shampoo.py:1206-1280`) to the returned metrics.
   """
   assert prev is not None
   assert rank > 0
@@ -219,7 +224,7 @@ def fd_update_root(
 
   # [decayed sketch ; grad factor]: its Gram is decay*SS^T + GG^T.
   updated = jnp.concatenate([jnp.sqrt(decay) * weighted, grad], axis=1)
-  u, s, _ = jnp.linalg.svd(updated, full_matrices=False)
+  u, s, vt = jnp.linalg.svd(updated, full_matrices=False)
   cutoff = s[rank]
   rho = cutoff**2
   top = s[:rank]
@@ -231,6 +236,8 @@ def fd_update_root(
   alpha = jnp.asarray(-1.0 / p)
   new_const = jnp.where(new_tail <= 0, 0.0, new_tail**alpha)
   new_tail = jnp.where(new_tail <= 0, 0.0, new_tail)
+  num_neg_eigs = jnp.sum(deflated < 0)
+  num_zero_initial_eigs = jnp.sum(deflated == 0.0)
   deflated = jnp.where(deflated <= 0, 0.0, deflated)
   eigvecs = eigvecs * (deflated > 0)
 
@@ -239,6 +246,7 @@ def fd_update_root(
   safe = (0.99 <= norms) & (norms <= 1.01)
   eigvecs = eigvecs * safe / jnp.where(safe, norms, 1.0)
   deflated = deflated * safe
+  num_unsafe_norms = jnp.sum(~safe) - (num_neg_eigs + num_zero_initial_eigs)
 
   # Guard 2: drop directions leaking into the padding subspace.
   pad_mass = jnp.linalg.norm(
@@ -257,6 +265,24 @@ def fd_update_root(
     val = jnp.where(padding_start == 0, 0.0, val)
   metrics = RootMetrics(error=jnp.zeros([], jnp.float32),
                         max_eigenvalue=jnp.asarray(max_ev, jnp.float32))
+  if generate_fd_metrics:
+    from precondition_tpu.utils.diagnostics import FDDiagnostics
+
+    # Top-k fit quality, measured against the rank-k SVD reconstruction
+    # of the updated sketch (not the recovered singular values, whose
+    # relative error blows up near zero).
+    recovered = jnp.matmul(u[:, :rank] * s[None, :rank], vt[:rank, :],
+                           precision=lax.Precision.HIGHEST)
+    diff = recovered - updated
+    frob = jnp.square(diff).sum()
+    entrywise = jnp.abs(diff).sum() / (
+        padding_start**2 + padding_start * rank)
+    expected_frob = jnp.square(s[rank:]).sum()
+    total_frob = jnp.square(updated).sum()
+    metrics = metrics.replace(fd=FDDiagnostics.create(
+        rho, new_tail, deflated, grad, eigvecs, padding_start, d,
+        num_neg_eigs, num_zero_initial_eigs, num_unsafe_norms,
+        jnp.sum(leaked), frob, expected_frob, entrywise, total_frob))
   return val, metrics
 
 

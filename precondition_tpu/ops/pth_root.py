@@ -33,13 +33,17 @@ code vmapped one matrix at a time):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax
 from jax import lax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from flax import struct
+
+from precondition_tpu.utils.diagnostics import (
+    FDDiagnostics, InversePthRootDiagnostics, LOBPCGDiagnostics)
 
 Array = jax.Array
 _EPSILON = 1e-25
@@ -73,6 +77,16 @@ class RootMetrics:
   error_ratio: Array = struct.field(default_factory=lambda: jnp.zeros([], jnp.float32))
   max_eigenvalue: Array = struct.field(default_factory=lambda: jnp.zeros([], jnp.float32))
   retries: Array = struct.field(default_factory=lambda: jnp.zeros([], jnp.float32))
+  # Rich on-demand diagnostics (`generate_diagnostics=True`), MaskedNode
+  # otherwise so the default state carries zero extra bytes.  Mirrors the
+  # reference's `TrainingMetrics` diagnostics fields
+  # (`distributed_shampoo.py:339-364`).
+  lobpcg: Any = struct.field(default_factory=optax.MaskedNode)
+  inverse_pth_root_diagnostics: Any = struct.field(
+      default_factory=optax.MaskedNode)
+  conditioned_inverse_pth_root_diagnostics: Any = struct.field(
+      default_factory=optax.MaskedNode)
+  fd: Any = struct.field(default_factory=optax.MaskedNode)
 
 
 def _padding_mask(n: int, padding_start, dtype) -> Array:
@@ -231,6 +245,7 @@ def matrix_inverse_pth_root(
     max_error_ratio: float = 1.2,
     newton_unroll: Optional[int] = None,
     warm_error_threshold: float = 0.05,
+    generate_diagnostics: bool = False,
 ) -> Tuple[Array, RootMetrics]:
   """``(matrix + eps I)^{-1/p}`` via coupled Newton with production guards.
 
@@ -278,6 +293,7 @@ def matrix_inverse_pth_root(
     return matrix_inverse_pth_root_eigh(
         matrix, p, ridge_epsilon, error_tolerance, precision,
         relative_matrix_epsilon, padding_start, prev,
+        generate_diagnostics=generate_diagnostics,
     )
   # Warm starts need an even static exponent (C = prev^{p/2} must be an
   # integer matrix power). Shampoo exponents are always 2 * #factored-axes.
@@ -302,6 +318,7 @@ def matrix_inverse_pth_root(
   original_matrix = matrix
 
   eigvals = eigvecs = None
+  lobpcg_diag = None
   if lobpcg_topk_precondition > 0:
     from jax.experimental.sparse import linalg as sparse_linalg
 
@@ -309,8 +326,11 @@ def matrix_inverse_pth_root(
     search = jnp.concatenate(
         [jnp.eye(k, dtype=matrix.dtype),
          jnp.zeros((n - k, k), dtype=matrix.dtype)], axis=0)
-    eigvals, eigvecs, _ = sparse_linalg.lobpcg_standard(
+    eigvals, eigvecs, lobpcg_iters = sparse_linalg.lobpcg_standard(
         matrix, search, lobpcg_max_iter if lobpcg_max_iter else k)
+    if generate_diagnostics:
+      lobpcg_diag = LOBPCGDiagnostics.create(
+          matrix, eigvals, eigvecs, lobpcg_iters)
     # Deflate so the smallest of the top-k becomes the new spectral radius.
     deflation = eigvals - jnp.min(eigvals)
     scaled = eigvecs * jnp.sqrt(deflation)
@@ -434,6 +454,7 @@ def matrix_inverse_pth_root(
         retry_cond, retry_body, init)
     retries = jnp.asarray(retries_i, jnp.float32)
 
+  conditioned_root = root
   if lobpcg_topk_precondition > 0:
     # The deflated directions were solved with eigenvalue min(eigvals); put
     # back the difference between their true inverse-roots and that one.
@@ -466,6 +487,35 @@ def matrix_inverse_pth_root(
       max_eigenvalue=jnp.asarray(max_ev, jnp.float32),
       retries=retries,
   )
+  if generate_diagnostics:
+    # Measure residuals against the problem the ladder actually solved:
+    # warm round 0 runs at the base ridge, cold round i at ridge*10^i, so
+    # the final effective ridge is 10^(retries - 1 - warm) (floored at 0,
+    # which also covers the n == 1 / pure-padding shortcuts).
+    eff_pow = jnp.maximum(retries - (2.0 if warm else 1.0), 0.0)
+    effective_ridge = ridge * 10.0 ** eff_pow.astype(work)
+    damped_full = original_matrix + effective_ridge * identity
+    uncond = InversePthRootDiagnostics.create(
+        root.astype(work), damped_full, p, padding_start=padding_start)
+    if lobpcg_topk_precondition > 0:
+      # `matrix` holds the deflated (conditioned) problem at this point.
+      damped_cond = matrix + effective_ridge * identity
+      cond = InversePthRootDiagnostics.create(
+          conditioned_root.astype(work), damped_cond, p,
+          padding_start=padding_start)
+    else:
+      lobpcg_diag = LOBPCGDiagnostics()
+      cond = InversePthRootDiagnostics()
+    if padding_start is not None:
+      # Pure-padding solves report all-zero diagnostics, like the root.
+      suppress = lambda x: jnp.where(padding_start == 0, 0.0, x)
+      uncond = jax.tree.map(suppress, uncond)
+      cond = jax.tree.map(suppress, cond)
+      lobpcg_diag = jax.tree.map(suppress, lobpcg_diag)
+    metrics = metrics.replace(
+        lobpcg=lobpcg_diag,
+        inverse_pth_root_diagnostics=uncond,
+        conditioned_inverse_pth_root_diagnostics=cond)
   return root.astype(orig_dtype), metrics
 
 
@@ -478,6 +528,7 @@ def matrix_inverse_pth_root_eigh(
     relative_matrix_epsilon: bool = True,
     padding_start: Union[int, Array, None] = None,
     prev: Optional[Array] = None,
+    generate_diagnostics: bool = False,
 ) -> Tuple[Array, RootMetrics]:
   """``(matrix + eps I)^{-1/p}`` via symmetric eigendecomposition.
 
@@ -527,6 +578,16 @@ def matrix_inverse_pth_root_eigh(
     error = jnp.where(padding_start == 0, 0.0, error)
   metrics = RootMetrics(
       error=error, max_eigenvalue=jnp.asarray(max_ev, jnp.float32))
+  if generate_diagnostics:
+    uncond = InversePthRootDiagnostics.create(
+        root.astype(work), regularized, p, padding_start=padding_start)
+    if padding_start is not None:
+      uncond = jax.tree.map(
+          lambda x: jnp.where(padding_start == 0, 0.0, x), uncond)
+    metrics = metrics.replace(
+        lobpcg=LOBPCGDiagnostics(),
+        inverse_pth_root_diagnostics=uncond,
+        conditioned_inverse_pth_root_diagnostics=InversePthRootDiagnostics())
   return root.astype(orig_dtype), metrics
 
 

@@ -32,6 +32,7 @@ TPU-first design (deliberately NOT the reference's architecture):
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 import functools
 import itertools
@@ -46,6 +47,7 @@ import optax
 from precondition_tpu.ops import lowrank
 from precondition_tpu.ops import pth_root
 from precondition_tpu.ops.pth_root import RootMetrics
+from precondition_tpu.utils import diagnostics
 from precondition_tpu.utils import shapes as shape_utils
 from precondition_tpu.utils.control import lazy_cond, tree_lazy_cond
 from precondition_tpu.utils.quantization import QuantizedValue
@@ -237,11 +239,31 @@ class Preconditioner:
     return jnp.reshape(merged, self._original_shape)
 
 
-def _init_metrics(num_statistics, generate_training_metrics):
+def _metrics_template(detailed=False, fd=False, error=0.0):
+  """Scalar-leaf RootMetrics with the configured diagnostics structure.
+
+  Every solver group, the skip-step placeholder, and the state init must
+  agree on this structure so metrics concat/select tree-maps line up.
+  """
+  m = RootMetrics(error=jnp.asarray(error, jnp.float32))
+  if detailed:
+    m = m.replace(
+        lobpcg=diagnostics.LOBPCGDiagnostics(),
+        inverse_pth_root_diagnostics=diagnostics.InversePthRootDiagnostics(),
+        conditioned_inverse_pth_root_diagnostics=(
+            diagnostics.InversePthRootDiagnostics()))
+  if fd:
+    m = m.replace(fd=diagnostics.FDDiagnostics())
+  return m
+
+
+def _init_metrics(num_statistics, generate_training_metrics,
+                  detailed=False, fd=False):
   if not generate_training_metrics:
     return optax.MaskedNode()
   return jax.tree.map(
-      functools.partial(jnp.repeat, repeats=num_statistics), RootMetrics())
+      functools.partial(jnp.repeat, repeats=num_statistics),
+      _metrics_template(detailed, fd))
 
 
 def distributed_shampoo(
@@ -278,6 +300,8 @@ def distributed_shampoo(
     decoupled_learning_rate: bool = True,
     decoupled_weight_decay: bool = False,
     generate_training_metrics: bool = True,
+    generate_detailed_metrics: bool = False,
+    generate_fd_metrics: bool = False,
     reuse_preconditioner: bool = False,
     eigh: bool = False,
     decay_preconditioning_compute_steps: bool = False,
@@ -317,6 +341,18 @@ def distributed_shampoo(
   if shard_optimizer_states and compression_rank:
     raise ValueError(
         "compression is not supported in the memory-sharded mode.")
+  # Rich diagnostics ride inside training metrics; reference parity:
+  # generate_fd_metrics is silently ignored without FD
+  # (`distributed_shampoo.py:2026`).
+  generate_detailed_metrics = (
+      generate_detailed_metrics and generate_training_metrics)
+  generate_fd_metrics = (generate_fd_metrics and generate_training_metrics
+                         and frequent_directions)
+  if shard_optimizer_states and (generate_detailed_metrics
+                                 or generate_fd_metrics):
+    raise ValueError(
+        "detailed/FD diagnostics are not supported in the memory-sharded "
+        "mode; scrape them from the default (replicated-metrics) mode.")
 
   graft_has_diag_stats = graft_type in (
       GraftingType.ADAGRAD, GraftingType.RMSPROP,
@@ -385,7 +421,8 @@ def distributed_shampoo(
           _quantize_momentum(jnp.zeros_like(param)),
           _quantize_momentum(jnp.zeros_like(param)),
           avg_grad,
-          _init_metrics(len(statistics), generate_training_metrics))
+          _init_metrics(len(statistics), generate_training_metrics,
+                        generate_detailed_metrics, generate_fd_metrics))
 
     return ShampooState(
         count=jnp.zeros([], jnp.int32), stats=jax.tree.map(_init, params))
@@ -431,7 +468,8 @@ def distributed_shampoo(
       relative_matrix_epsilon=relative_matrix_epsilon,
       lobpcg_topk_precondition=lobpcg_topk_precondition,
       lobpcg_max_iter=lobpcg_max_iter,
-      eigh=eigh)
+      eigh=eigh,
+      generate_diagnostics=generate_detailed_metrics)
 
   def _solve_batched(stacked, exps, pads, prevs=None):
     """vmap the root solve over the stacked batch [N, m, m].
@@ -451,10 +489,25 @@ def distributed_shampoo(
       from precondition_tpu.ops.pallas import newton_root
 
       if newton_root.supported(stacked.shape[-1]):
-        return newton_root.batched_inverse_pth_root_pallas(
+        roots, metrics = newton_root.batched_inverse_pth_root_pallas(
             stacked, exps, pads, prevs=prevs,
             ridge_epsilon=matrix_epsilon,
             relative_matrix_epsilon=relative_matrix_epsilon)
+        if generate_detailed_metrics:
+          # The kernel reports scalar metrics only; reconstruct the
+          # entrywise residual diagnostics outside it (one batched
+          # matmul chain, cheap next to the solve).
+          eff = (matrix_epsilon
+                 * jnp.maximum(metrics.max_eigenvalue, pth_root._EPSILON)
+                 * 10.0 ** jnp.maximum(metrics.retries - 1.0, 0.0))
+          eye = jnp.eye(stacked.shape[-1], dtype=jnp.float32)
+          diag = jax.vmap(
+              lambda r, s, e, d:
+              diagnostics.InversePthRootDiagnostics.create(
+                  r, s + e * eye, exps, padding_start=d))(
+                      roots, stacked, eff, pads)
+          metrics = metrics.replace(inverse_pth_root_diagnostics=diag)
+        return roots, metrics
     if isinstance(exps, int):
       if prevs is None:
         return jax.vmap(
@@ -497,6 +550,47 @@ def distributed_shampoo(
         P = jax.sharding.PartitionSpec
         mesh_ = solve_spec.mesh
         lead = solve_spec.spec[0] if len(solve_spec.spec) else None
+        axes = (lead,) if isinstance(lead, str) else tuple(lead or ())
+        n_solvers = int(np.prod([mesh_.shape[a] for a in axes], initial=1))
+        if axes and n % n_solvers == 0:
+          # Explicit SPMD: shard_map assigns each device a contiguous
+          # slice of the solve batch, then ONE tiled all-gather over ICI
+          # replicates the roots everywhere.  The per-statistic slices
+          # downstream are then local ops.  (The previous
+          # with_sharding_constraint round-trip left XLA to re-derive
+          # this layout and it fell back to "involuntary full
+          # rematerialization" collective-permutes per statistic.)
+          in_lead = P(axes)
+
+          def _shmap_solve(*args):
+            if isinstance(exps, int):
+              st, pd = args[:2]
+              pv = args[2] if prevs is not None else None
+              ex = exps
+            else:
+              st, ex, pd = args[:3]
+              pv = args[3] if prevs is not None else None
+            roots_l, metrics_l = _solve_batched(st, ex, pd, pv)
+            gather = lambda x: lax.all_gather(x, axes, axis=0, tiled=True)
+            return gather(roots_l), jax.tree.map(gather, metrics_l)
+
+          args = [stacked]
+          in_specs = [in_lead]
+          if not isinstance(exps, int):
+            args.append(exps)
+            in_specs.append(in_lead)
+          args.append(pads)
+          in_specs.append(in_lead)
+          if prevs is not None:
+            args.append(prevs)
+            in_specs.append(in_lead)
+          # check_vma=False: the solver's while_loop carries mix literal
+          # and data-derived scalars, which trips the varying-axes
+          # checker; the tiled all_gather establishes the replication
+          # out_specs=P() promises.
+          return jax.shard_map(
+              _shmap_solve, mesh=mesh_, in_specs=tuple(in_specs),
+              out_specs=P(), check_vma=False)(*args)
         lead_spec = jax.sharding.NamedSharding(mesh_, P(lead))
         repl_spec = jax.sharding.NamedSharding(mesh_, P())
       else:
@@ -603,12 +697,26 @@ def distributed_shampoo(
                   ridge_epsilon=matrix_epsilon,
                   relative_matrix_epsilon=relative_matrix_epsilon,
                   decay=beta2, padding_start=d,
-                  prev=pv))(stacked, prevs, grp_pads)
+                  prev=pv,
+                  generate_fd_metrics=generate_fd_metrics))(
+                      stacked, prevs, grp_pads)
         for j, i in enumerate(idxs):
           roots_out[i] = roots[j]
         # Solver-padding entries (full groups only) sit past len(idxs).
-        group_metrics.append(
-            jax.tree.map(lambda x: x[:len(idxs)], metrics))
+        metrics = jax.tree.map(lambda x: x[:len(idxs)], metrics)
+        # Zero-fill whichever diagnostics this solver mode didn't produce
+        # so group structures agree for the concat below (e.g. low-rank
+        # groups carry no entrywise residuals, full groups no FD report).
+        if generate_detailed_metrics or generate_fd_metrics:
+          template = jax.tree.map(
+              lambda x: jnp.broadcast_to(x, (len(idxs),)),
+              _metrics_template(generate_detailed_metrics,
+                                generate_fd_metrics))
+          metrics = template.replace(**{
+              f.name: getattr(metrics, f.name)
+              for f in dataclasses.fields(metrics)
+              if not isinstance(getattr(metrics, f.name), optax.MaskedNode)})
+        group_metrics.append(metrics)
         order.extend(idxs)
       # One concat + gather instead of per-statistic slicing/stacking
       # (thousands of tiny ops otherwise; measured ~8 ms per step on TPU).
@@ -641,8 +749,8 @@ def distributed_shampoo(
           init_roots.append(padded[i])
       init_metrics = jax.tree.map(
           lambda x: jnp.full((num_statistics,), x),
-          RootMetrics(error=jnp.asarray(inverse_failure_threshold,
-                                        jnp.float32)))
+          _metrics_template(generate_detailed_metrics, generate_fd_metrics,
+                            error=inverse_failure_threshold))
       roots, metrics = tree_lazy_cond(
           perform_step, solve, (tuple(init_roots), init_metrics))
 

@@ -18,8 +18,6 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from precondition_tpu.ops.pth_root import mat_power
-
 
 def _zero():
   return struct.field(default_factory=functools.partial(
@@ -37,16 +35,30 @@ class InversePthRootDiagnostics:
   p: jax.Array = _zero()
 
   @classmethod
-  def create(cls, pth_inverse_root, matrix, p):
+  def create(cls, pth_inverse_root, matrix, p, padding_start=None):
+    # Local import: pth_root imports this module for the diagnostics types.
+    from precondition_tpu.ops.pth_root import mat_power
+
     mat_m = jnp.matmul(mat_power(pth_inverse_root, p), matrix,
                        precision=lax.Precision.HIGHEST)
-    num_off_diag = mat_m.size - mat_m.shape[0]
-    diag_error = jnp.abs(jnp.diag(mat_m) - 1).astype(jnp.float32)
-    off_diag_error = jnp.abs(
-        mat_m - jnp.diag(jnp.diag(mat_m))).astype(jnp.float32)
+    n = mat_m.shape[0]
+    if padding_start is None:
+      valid = jnp.ones((n,), mat_m.dtype)
+      count = jnp.asarray(n, jnp.float32)
+    else:
+      # Padded rows/cols hold zeros; exclude them so a padded block does
+      # not report |0 - 1| = 1 diagonal "error" (the reference computes
+      # these unmasked because it only attaches them in un-padded LOBPCG
+      # runs).
+      valid = (jnp.arange(n) < padding_start).astype(mat_m.dtype)
+      count = jnp.maximum(jnp.asarray(padding_start, jnp.float32), 1.0)
+    num_off_diag = jnp.maximum(count * count - count, 1.0)
+    diag_error = (jnp.abs(jnp.diag(mat_m) - 1) * valid).astype(jnp.float32)
+    off_diag_error = (jnp.abs(mat_m - jnp.diag(jnp.diag(mat_m)))
+                      * valid[:, None] * valid[None, :]).astype(jnp.float32)
     return cls(
         max_diag_error=jnp.max(diag_error),
-        avg_diag_error=jnp.mean(diag_error),
+        avg_diag_error=jnp.sum(diag_error) / count,
         max_off_diag_error=jnp.max(off_diag_error),
         avg_off_diag_error=jnp.sum(off_diag_error) / num_off_diag,
         p=jnp.array(p, jnp.float32))
