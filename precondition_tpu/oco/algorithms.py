@@ -1,19 +1,25 @@
 """Functionally-expressed OCO algorithms.
 
-Six online learners sharing one interface (parity with
+Six online learners sharing one interface (behavioural parity with
 `/root/reference/precondition/oco/algorithms.py`): OGD, diagonal AdaGrad,
-and four sketched-Newton variants that differ only in how the frequent-
-directions sketch is scaled, how the escaped-mass regulariser ``alpha``
-accumulates, and how eigenvalues are inverted:
+and four sketched-Newton variants.  The sketched family is expressed here
+as one frequent-directions engine (`_insert_and_deflate` + two
+preconditioner-application forms) specialised by a declarative
+`_SketchRecipe` per algorithm:
 
-  * RFD-SON  (Luo et al., arXiv:1705.05067): sketch scaled by
-    ``1/sqrt(t * lr)``, alpha += rho/2, reciprocal inversion.
-  * FD-SON   (Luo et al., arXiv:1602.02202): sketch scaled by
-    ``1/sqrt(sqrt(t) * lr)``, alpha fixed, reciprocal inversion.
-  * Ada-FD   (Wan & Zhang, IJCAI'18): unscaled sketch, alpha fixed, adds
-    delta to the *rooted* eigenvalues (special-cased inversion).
-  * S-Adagrad (Feinberg et al., arXiv:2302.03764): unscaled sketch,
-    alpha += rho, rsqrt inversion.
+  * RFD-SON  (Luo et al., arXiv:1705.05067): gradient enters the sketch
+    scaled by ``1/sqrt(t * lr)``, half the escaped mass accumulates into
+    the diagonal ``alpha``, spectral inversion is the reciprocal, and the
+    step applies no extra learning rate.
+  * FD-SON   (Luo et al., arXiv:1602.02202): sketch scale
+    ``1/sqrt(sqrt(t) * lr)`` (eta_t itself decays), ``alpha`` is frozen at
+    ``delta``, reciprocal inversion, no extra learning rate.
+  * Ada-FD   (Wan & Zhang, IJCAI'18): unscaled sketch, frozen ``alpha``,
+    and — uniquely — the regulariser is added to the *rooted* eigenvalues,
+    which calls for the dedicated rooted application form.
+  * S-Adagrad (Feinberg et al., arXiv:2302.03764): unscaled sketch, full
+    escaped mass into ``alpha``, inverse-square-root inversion, learning
+    rate applied to the step.
 
 All state is float64 (the harness runs with ``jax_enable_x64``; OCO regret
 experiments are CPU-bound and precision-sensitive).
@@ -23,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Callable, Dict, Tuple, Union
+from typing import Callable, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -110,6 +116,40 @@ def _ada_update(state, loss, grad, hparams: HParams) -> State:
 
 
 # --------------------------------------------------- FD-sketched methods --
+@dataclasses.dataclass(frozen=True)
+class _SketchRecipe:
+  """What distinguishes one sketched-Newton method from another.
+
+  ``invert=None`` selects the rooted application form (Ada-FD's
+  regularise-after-sqrt convention); every other method regularises the
+  squared sketch spectrum and inverts it with ``invert``.
+  """
+
+  # Multiplier on the gradient row entering the sketch, from (t, lr).
+  sketch_gain: Callable[[jax.Array, RuntimeScalar], RuntimeScalar]
+  # Fraction of the escaped mass rho^2 folded into the diagonal alpha.
+  mass_gain: float
+  # Whether hparams.lr additionally scales the parameter step.
+  lr_scales_step: bool
+  invert: Optional[Callable[[jax.Array], jax.Array]]
+
+
+_RECIPES = {
+    Algorithm.RFD_SON: _SketchRecipe(
+        sketch_gain=lambda t, lr: jax.lax.rsqrt(t * lr),
+        mass_gain=0.5, lr_scales_step=False, invert=jnp.reciprocal),
+    Algorithm.FD_SON: _SketchRecipe(
+        sketch_gain=lambda t, lr: jax.lax.rsqrt(jnp.sqrt(t) * lr),
+        mass_gain=0.0, lr_scales_step=False, invert=jnp.reciprocal),
+    Algorithm.ADA_FD: _SketchRecipe(
+        sketch_gain=lambda t, lr: 1.0,
+        mass_gain=0.0, lr_scales_step=True, invert=None),
+    Algorithm.S_ADA: _SketchRecipe(
+        sketch_gain=lambda t, lr: 1.0,
+        mass_gain=1.0, lr_scales_step=True, invert=jax.lax.rsqrt),
+}
+
+
 def _fd_init(w_shape, hparams: HParams) -> State:
   size = int(np.prod(w_shape))
   k = hparams.sketch_size
@@ -123,60 +163,76 @@ def _fd_init(w_shape, hparams: HParams) -> State:
   }
 
 
-_ADA_FD_SENTINEL = "ada-fd-inversion"
+def _insert_and_deflate(eigvecs, root_eigs, row):
+  """One frequent-directions round on the factored sketch.
+
+  Rebuilds the sketch from its (eigvecs, root-eigs) factorisation,
+  overwrites the last (smallest) row with the incoming gradient row, and
+  deflates the refreshed spectrum by its smallest singular value so the
+  sketch keeps one free slot.
+
+  Returns the new eigvecs, the deflated *squared* spectrum, its root, and
+  the escaped mass ``rho**2``.
+  """
+  refreshed = (eigvecs * root_eigs[:, None]).at[-1].set(row)
+  _, sv, eigvecs = jnp.linalg.svd(refreshed, full_matrices=False)
+  smallest = sv[-1]
+  squared = (sv - smallest) * (sv + smallest)
+  return eigvecs, squared, jnp.sqrt(squared), smallest**2
 
 
-def _method_factors(state: State, hparams: HParams):
-  """(sketch scale, alpha accumulation factor, lr, eig inversion)."""
-  if hparams.algorithm == Algorithm.RFD_SON:
-    return (jax.lax.rsqrt(state["t"] * hparams.lr), 0.5, 1.0, jnp.reciprocal)
-  if hparams.algorithm == Algorithm.FD_SON:
-    return (jax.lax.rsqrt(jnp.sqrt(state["t"]) * hparams.lr), 0.0, 1.0,
-            jnp.reciprocal)
-  if hparams.algorithm == Algorithm.ADA_FD:
-    return (1.0, 0.0, hparams.lr, _ADA_FD_SENTINEL)
-  if hparams.algorithm == Algorithm.S_ADA:
-    return (1.0, 1.0, hparams.lr, jax.lax.rsqrt)
-  raise ValueError(hparams.algorithm)
+def _dot(a, b):
+  return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _guarded(invert, x):
+  """``invert(x)`` with non-positive inputs mapped to exactly zero."""
+  return jnp.where(x <= 0.0, 0.0, invert(x))
+
+
+def _apply_spectral(g, eigvecs, squared, alpha, invert):
+  """Precondition ``g`` with ``(P^T diag(e^2) P + alpha I)^{-q}``.
+
+  ``invert`` carries the exponent choice (reciprocal for the SON family,
+  rsqrt for S-Adagrad), applied to the alpha-shifted squared spectrum
+  inside the sketch and to alpha alone on its orthogonal complement.
+  """
+  in_sketch = _dot(eigvecs, g)
+  spectrum = _guarded(invert, alpha + squared)
+  complement = g - _dot(eigvecs.T, in_sketch)
+  return (_dot(eigvecs.T, spectrum * in_sketch)
+          + _guarded(invert, alpha) * complement)
+
+
+def _apply_rooted(g, eigvecs, root_eigs, alpha):
+  """Ada-FD's form: regularise the *rooted* spectrum, ``H = B + alpha I``
+  with ``B = P^T diag(e) P``, applied via the Woodbury-style rewrite
+  ``H^{-1} g = (g - P^T [e/(alpha+e)] P g) / alpha``."""
+  in_sketch = _dot(eigvecs, g)
+  shrink = root_eigs / (alpha + root_eigs)
+  update = g - _dot(eigvecs.T, shrink * in_sketch)
+  return update * _guarded(jnp.reciprocal, alpha)
 
 
 def _fd_update(state, loss, grad, hparams: HParams) -> State:
-  """Shared FD-sketched Newton update (see module docstring)."""
+  """Shared FD-sketched Newton update, specialised by `_RECIPES`."""
   del loss
+  recipe = _RECIPES[hparams.algorithm]
   state["t"] += 1.0
-  sketch_scale, alpha_factor, lr, inversion = _method_factors(state, hparams)
 
-  # FD step: overwrite the last sketch row with the (scaled) gradient, SVD,
-  # deflate by the smallest singular value.
-  sketch = state["P"] * state["e"].reshape(-1, 1)
-  sketch = sketch.at[-1].set(grad.ravel() * sketch_scale)
-  _, s, vt = jnp.linalg.svd(sketch, full_matrices=False)
-  rho = s[-1]
-  deflated = (s - rho) * (s + rho)
-  state["P"] = vt
-  state["e"] = jnp.sqrt(deflated)
-  state["alpha"] += alpha_factor * rho**2
+  row = grad.ravel() * recipe.sketch_gain(state["t"], hparams.lr)
+  eigvecs, squared, root_eigs, escaped = _insert_and_deflate(
+      state["P"], state["e"], row)
+  state["P"] = eigvecs
+  state["e"] = root_eigs
+  state["alpha"] += recipe.mass_gain * escaped
 
-  mm = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
   g = grad.ravel()
-  alpha = state["alpha"]
-  P = state["P"]  # pylint: disable=invalid-name
-
-  def safe_invert(x, inv):
-    return jnp.where(x <= 0.0, 0.0, inv(x))
-
-  if inversion is _ADA_FD_SENTINEL:
-    # Ada-FD regularises the rooted eigenvalues: H = P^T diag(e) P + alpha I.
-    e = state["e"]
-    d = e / (alpha + e)
-    update = g - mm(P.T, d * mm(P, g))
-    update *= safe_invert(alpha, jnp.reciprocal)
+  if recipe.invert is None:
+    step = _apply_rooted(g, eigvecs, root_eigs, state["alpha"])
   else:
-    shifted = alpha + deflated
-    inv_s = safe_invert(shifted, inversion)
-    inv_alpha = safe_invert(alpha, inversion)
-    outside = g - mm(P.T, mm(P, g))
-    update = mm(P.T, inv_s * mm(P, g)) + inv_alpha * outside
-
-  state["w"] -= lr * update.reshape(state["w"].shape)
+    step = _apply_spectral(g, eigvecs, squared, state["alpha"], recipe.invert)
+  if recipe.lr_scales_step:
+    step = hparams.lr * step
+  state["w"] -= step.reshape(state["w"].shape)
   return state

@@ -66,3 +66,18 @@ class TestAlgorithms:
     np.testing.assert_allclose(
         np.asarray(ours_state["w"]), np.asarray(ref_state["w"]),
         rtol=1e-6, atol=1e-9)
+
+  @requires_reference
+  def test_matches_upstream_f64(self):
+    """Parity at the precision the reference specifies (f64, see its
+    `oco/sweep.py:38`). x64 must not leak into this session's f32 tests,
+    so the comparison runs in a clean subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    driver = os.path.join(os.path.dirname(__file__), "oco_f64_driver.py")
+    proc = subprocess.run(
+        [sys.executable, driver], capture_output=True, text=True,
+        timeout=280, env={**os.environ, "JAX_ENABLE_X64": "1"})
+    assert proc.returncode == 0, proc.stdout + proc.stderr
