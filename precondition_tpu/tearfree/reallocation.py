@@ -85,9 +85,14 @@ def layers_and_axes(sketches: dict):
 
 
 def create_groups(sketches: dict, layer_names) -> dict:
-  """Group layer axes by their dimension."""
+  """Group layer axes by their dimension.
+
+  Groups iterate in sorted-name order: `layer_names` is a set, and letting
+  its hash order leak into the float score summation below makes the
+  rounded allocations differ between interpreter runs (PYTHONHASHSEED).
+  """
   groups: dict = {}
-  for name in layer_names:
+  for name in sorted(layer_names):
     node = sketches
     for d in name.split("/"):
       node = node[d]
@@ -209,21 +214,31 @@ def create_redist_dict(
   return redist
 
 
-_DIR = flags.DEFINE_string("dir", "", "directory with checkpoints")
-_IDX = flags.DEFINE_multi_integer(
-    "idx", -1, "checkpoint indices to analyze (default: last)")
-_RULE = flags.DEFINE_string("rule", "sketch_trace", "scoring rule")
-_AVG = flags.DEFINE_bool("avg", False, "average scores over checkpoints")
-_RANK = flags.DEFINE_integer("rank", 256, "base per-layer rank budget")
+def _define_flags():
+  """CLI flags, defined lazily so importing this module next to other
+  reallocation CLIs (e.g. the upstream oracle in tests) cannot collide in
+  the global absl registry."""
+  return {
+      "dir": flags.DEFINE_string("dir", "", "directory with checkpoints"),
+      "idx": flags.DEFINE_multi_integer(
+          "idx", -1, "checkpoint indices to analyze (default: last)"),
+      "rule": flags.DEFINE_string("rule", "sketch_trace", "scoring rule"),
+      "avg": flags.DEFINE_bool(
+          "avg", False, "average scores over checkpoints"),
+      "rank": flags.DEFINE_integer(
+          "rank", 256, "base per-layer rank budget"),
+  }
 
 
-def main(argv):
+def main(argv, fl):
   del argv
-  if not _DIR.value:
+  if not fl["dir"].value:
     raise ValueError("--dir must be set")
   return create_redist_dict(
-      _DIR.value, _IDX.value, _RULE.value, _AVG.value, _RANK.value)
+      fl["dir"].value, fl["idx"].value, fl["rule"].value, fl["avg"].value,
+      fl["rank"].value)
 
 
 if __name__ == "__main__":
-  app.run(main)
+  _fl = _define_flags()
+  app.run(lambda argv: main(argv, _fl))

@@ -242,6 +242,55 @@ class TestGolden:
       updates, state = tx.update(grads, state, params)
     chex.assert_tree_all_finite((updates, state))
 
+  @staticmethod
+  def _larger_fixture():
+    """The reference's "slightly larger" fixture
+    (`distributed_shampoo_test.py:102-114`): seeded standard-normal
+    params/updates with a 100x first column in the updates."""
+    rng = np.random.default_rng(1234)
+    shape = ([2, 5], [6, 3])
+
+    def make(bigger_first_entry):
+      x = tuple(rng.standard_normal(size=s) for s in shape)
+      if bigger_first_entry:
+        for xx in x:
+          xx[..., 0] *= 100
+      return tuple(jnp.asarray(xx, jnp.float32) for xx in x)
+
+    params = make(False)
+    grads = make(True)
+    return params, grads
+
+  @pytest.mark.parametrize("kwargs", [
+      dict(best_effort_memory_usage_reduction=True),
+      dict(best_effort_memory_usage_reduction=True,
+           merge_small_dims_block_size=1),
+      dict(compression_rank=1),
+      dict(compression_rank=1, merge_small_dims_block_size=1),
+      dict(compression_rank=-1),
+      dict(compression_rank=-1, merge_small_dims_block_size=1),
+      dict(best_effort_memory_usage_reduction=True,
+           reuse_preconditioner=True),
+      dict(reuse_preconditioner=True),
+      dict(reuse_preconditioner=True, merge_small_dims_block_size=1),
+  ])
+  def test_larger_fixture_golden(self, kwargs):
+    """The -0.17019942 golden family (`distributed_shampoo_test.py:
+    133-209`): the step-0 update entry must hit the golden across the
+    quantized/compressed/merged/warm-started state layouts, and the
+    trajectory must stay finite thereafter."""
+    params, grads = self._larger_fixture()
+    tx = shampoo.distributed_shampoo(
+        0.1, 32, preconditioning_compute_steps=2, **kwargs)
+    state = tx.init(params)
+    update = jax.jit(tx.update)
+    updates, state = update(grads, state, params)
+    got = float(updates[1][-1, -1])
+    assert abs(got - (-0.17019942)) < 1e-4, got
+    for _ in range(5):
+      updates, state = update(grads, state, params)
+    chex.assert_tree_all_finite((updates, state))
+
 
 class TestShardedMode:
   """Memory-sharded (pjit-equivalent) mode."""
