@@ -303,6 +303,7 @@ def distributed_shampoo(
     generate_detailed_metrics: bool = False,
     generate_fd_metrics: bool = False,
     reuse_preconditioner: bool = False,
+    delayed_preconditioning: bool = False,
     eigh: bool = False,
     decay_preconditioning_compute_steps: bool = False,
     end_preconditioning_compute_steps: Optional[int] = None,
@@ -353,6 +354,16 @@ def distributed_shampoo(
     raise ValueError(
         "detailed/FD diagnostics are not supported in the memory-sharded "
         "mode; scrape them from the default (replicated-metrics) mode.")
+  if delayed_preconditioning and frequent_directions:
+    raise ValueError(
+        "delayed_preconditioning cannot compose with frequent_directions: "
+        "the FD solve consumes each gradient factor exactly once, and the "
+        "delay would feed it the factor a second time.")
+  if delayed_preconditioning and shard_optimizer_states:
+    raise ValueError(
+        "the memory-sharded mode already applies roots one step delayed "
+        "(it transforms with the carried roots before solving); "
+        "delayed_preconditioning only applies to the default mode.")
 
   graft_has_diag_stats = graft_type in (
       GraftingType.ADAGRAD, GraftingType.RMSPROP,
@@ -875,12 +886,33 @@ def distributed_shampoo(
     stats_flat = treedef.flatten_up_to(state.stats)
     grads_flat = treedef.flatten_up_to(grads)
 
-    new_stats_flat = [
-        _update_statistics(g, s, p, state.count)
-        for g, s, p in zip(grads_flat, stats_flat, params_flat)
-    ]
-    new_stats_flat = _update_preconditioners(
-        new_stats_flat, params_flat, state.count)
+    if delayed_preconditioning:
+      # Solve from the CARRIED statistics (through step t-1): the whole
+      # root-solve subgraph then has no data dependence on this step's
+      # gradients, so under jit XLA is free to schedule it — and its
+      # all-gather — concurrently with the gradient-dependent statistics/
+      # grafting work instead of serialising after it.  The roots applied
+      # at step t lag one statistics update, which the stale-root failure
+      # gate and preconditioning_compute_steps > 1 already tolerate
+      # semantically.
+      solved_flat = _update_preconditioners(
+          stats_flat, params_flat, state.count)
+      new_stats_flat = [
+          _update_statistics(g, s, p, state.count)
+          for g, s, p in zip(grads_flat, stats_flat, params_flat)
+      ]
+      new_stats_flat = [
+          ns._replace(preconditioners=sv.preconditioners,
+                      training_metrics=sv.training_metrics)
+          for ns, sv in zip(new_stats_flat, solved_flat)
+      ]
+    else:
+      new_stats_flat = [
+          _update_statistics(g, s, p, state.count)
+          for g, s, p in zip(grads_flat, stats_flat, params_flat)
+      ]
+      new_stats_flat = _update_preconditioners(
+          new_stats_flat, params_flat, state.count)
     outputs = [
         _transform_grad(g, s, p, state.count)
         for g, s, p in zip(grads_flat, new_stats_flat, params_flat)

@@ -347,6 +347,39 @@ class TestShardedMode:
             ours_u, ref_u, rtol=2e-4, atol=5e-5,
             custom_message=f"step {step}")
 
+  def test_delayed_preconditioning_lags_one_solve(self):
+    """delayed_preconditioning solves from the carried statistics: the
+    preconditioners after step t must equal the synchronous mode's after
+    step t-1 (same stats stream), making the solve independent of the
+    step's incoming gradients (the overlap-with-compute contract)."""
+    params, grads = _fixture()
+    delayed_tx = shampoo.distributed_shampoo(
+        **COMMON, delayed_preconditioning=True)
+    cold_tx = shampoo.distributed_shampoo(**COMMON)
+    d_state, c_state = delayed_tx.init(params), cold_tx.init(params)
+    d_upd = jax.jit(delayed_tx.update)
+    c_upd = jax.jit(cold_tx.update)
+    c_pre_history = []
+    for step, g in enumerate(grads):
+      # Identical gradient streams; params only provide shape metadata to
+      # the solve, so the preconditioner sequences must align exactly.
+      d_up, d_state = d_upd(g, d_state, params)
+      c_up, c_state = c_upd(g, c_state, params)
+      c_pre_history.append(
+          [np.asarray(p) for p in c_state.stats["w"].preconditioners])
+      if step >= 1:
+        got = [np.asarray(p) for p in d_state.stats["w"].preconditioners]
+        want = c_pre_history[step - 1]
+        for a, b in zip(got, want):
+          np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+      chex.assert_tree_all_finite((d_up, d_state))
+
+  def test_delayed_rejects_fd(self):
+    with pytest.raises(ValueError):
+      shampoo.distributed_shampoo(
+          **COMMON, delayed_preconditioning=True, compression_rank=2,
+          frequent_directions=True, reuse_preconditioner=True)
+
   def test_sharded_reuse_preconditioner_matches_cold(self):
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
