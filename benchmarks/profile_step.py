@@ -1,8 +1,16 @@
 """Decompose the Shampoo step time: statistics vs root solve vs transform.
 
-Run on TPU:  python benchmarks/profile_step.py
+Run on TPU:  python benchmarks/profile_step.py [--trace_dir /tmp/xprof]
+
+With ``--trace_dir`` the timed sections run under ``jax.profiler.trace``;
+the captured trace labels HLO with the library's `jax.named_scope`
+annotations (ShampooStatistics / ShampooRootSolve / ShampooPrecondition /
+PowerIteration / CoupledNewton / LOBPCGDeflation) for xprof/TensorBoard
+(SURVEY §5's tracing contract).
 """
 
+import contextlib
+import sys
 import time
 
 import numpy as np
@@ -12,6 +20,13 @@ from jax import lax
 
 from precondition_tpu.ops import pth_root
 from precondition_tpu.optim import shampoo
+
+
+def _maybe_trace():
+  if "--trace_dir" in sys.argv:
+    trace_dir = sys.argv[sys.argv.index("--trace_dir") + 1]
+    return jax.profiler.trace(trace_dir)
+  return contextlib.nullcontext()
 
 
 def timeit(fn, *args, iters=8, warmup=1):
@@ -80,10 +95,11 @@ def main():
   update = jax.jit(tx.update)
   u, s2 = update(grads, state, params)
   jax.block_until_ready(u)
-  t0 = time.perf_counter()
-  for _ in range(8):
-    u, s2 = update(grads, state, params)
-  jax.block_until_ready(u)
+  with _maybe_trace():  # named_scope-labelled xprof capture of the step
+    t0 = time.perf_counter()
+    for _ in range(8):
+      u, s2 = update(grads, state, params)
+    jax.block_until_ready(u)
   print(f"full step: {(time.perf_counter()-t0)/8*1e3:.2f} ms")
 
   # Step with solve gated off (preconditioning_compute_steps large).

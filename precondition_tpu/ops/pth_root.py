@@ -322,27 +322,30 @@ def matrix_inverse_pth_root(
   if lobpcg_topk_precondition > 0:
     from jax.experimental.sparse import linalg as sparse_linalg
 
-    k = lobpcg_topk_precondition
-    search = jnp.concatenate(
-        [jnp.eye(k, dtype=matrix.dtype),
-         jnp.zeros((n - k, k), dtype=matrix.dtype)], axis=0)
-    eigvals, eigvecs, lobpcg_iters = sparse_linalg.lobpcg_standard(
-        matrix, search, lobpcg_max_iter if lobpcg_max_iter else k)
-    if generate_diagnostics:
-      lobpcg_diag = LOBPCGDiagnostics.create(
-          matrix, eigvals, eigvecs, lobpcg_iters)
-    # Deflate so the smallest of the top-k becomes the new spectral radius.
-    deflation = eigvals - jnp.min(eigvals)
-    scaled = eigvecs * jnp.sqrt(deflation)
-    matrix = matrix - jnp.matmul(scaled, scaled.T, precision=lax.Precision.HIGHEST)
+    with jax.named_scope("LOBPCGDeflation"):
+      k = lobpcg_topk_precondition
+      search = jnp.concatenate(
+          [jnp.eye(k, dtype=matrix.dtype),
+           jnp.zeros((n - k, k), dtype=matrix.dtype)], axis=0)
+      eigvals, eigvecs, lobpcg_iters = sparse_linalg.lobpcg_standard(
+          matrix, search, lobpcg_max_iter if lobpcg_max_iter else k)
+      if generate_diagnostics:
+        lobpcg_diag = LOBPCGDiagnostics.create(
+            matrix, eigvals, eigvecs, lobpcg_iters)
+      # Deflate so the smallest of the top-k becomes the new spectral radius.
+      deflation = eigvals - jnp.min(eigvals)
+      scaled = eigvecs * jnp.sqrt(deflation)
+      matrix = matrix - jnp.matmul(
+          scaled, scaled.T, precision=lax.Precision.HIGHEST)
 
   if relative_matrix_epsilon:
     if eigvals is not None:
       max_ev = jnp.max(eigvals)
     else:
-      _, max_ev = power_iteration(
-          matrix, num_iters=100, error_tolerance=1e-6,
-          precision=precision, padding_start=padding_start)
+      with jax.named_scope("PowerIteration"):
+        _, max_ev = power_iteration(
+            matrix, num_iters=100, error_tolerance=1e-6,
+            precision=precision, padding_start=padding_start)
   else:
     max_ev = jnp.asarray(1.0, work)
   ridge = ridge_epsilon * jnp.maximum(max_ev, _EPSILON)
@@ -450,8 +453,9 @@ def matrix_inverse_pth_root(
 
     init = (0, identity, jnp.asarray(1000.0, jnp.float32),
             jnp.asarray(100.0, jnp.float32), jnp.asarray(1.0, jnp.float32), True)
-    retries_i, root, error, iters, ratio, _ = lax.while_loop(
-        retry_cond, retry_body, init)
+    with jax.named_scope("CoupledNewton"):
+      retries_i, root, error, iters, ratio, _ = lax.while_loop(
+          retry_cond, retry_body, init)
     retries = jnp.asarray(retries_i, jnp.float32)
 
   conditioned_root = root

@@ -895,28 +895,33 @@ def distributed_shampoo(
       # at step t lag one statistics update, which the stale-root failure
       # gate and preconditioning_compute_steps > 1 already tolerate
       # semantically.
-      solved_flat = _update_preconditioners(
-          stats_flat, params_flat, state.count)
-      new_stats_flat = [
-          _update_statistics(g, s, p, state.count)
-          for g, s, p in zip(grads_flat, stats_flat, params_flat)
-      ]
+      with jax.named_scope("ShampooRootSolve"):
+        solved_flat = _update_preconditioners(
+            stats_flat, params_flat, state.count)
+      with jax.named_scope("ShampooStatistics"):
+        new_stats_flat = [
+            _update_statistics(g, s, p, state.count)
+            for g, s, p in zip(grads_flat, stats_flat, params_flat)
+        ]
       new_stats_flat = [
           ns._replace(preconditioners=sv.preconditioners,
                       training_metrics=sv.training_metrics)
           for ns, sv in zip(new_stats_flat, solved_flat)
       ]
     else:
-      new_stats_flat = [
-          _update_statistics(g, s, p, state.count)
-          for g, s, p in zip(grads_flat, stats_flat, params_flat)
+      with jax.named_scope("ShampooStatistics"):
+        new_stats_flat = [
+            _update_statistics(g, s, p, state.count)
+            for g, s, p in zip(grads_flat, stats_flat, params_flat)
+        ]
+      with jax.named_scope("ShampooRootSolve"):
+        new_stats_flat = _update_preconditioners(
+            new_stats_flat, params_flat, state.count)
+    with jax.named_scope("ShampooPrecondition"):
+      outputs = [
+          _transform_grad(g, s, p, state.count)
+          for g, s, p in zip(grads_flat, new_stats_flat, params_flat)
       ]
-      new_stats_flat = _update_preconditioners(
-          new_stats_flat, params_flat, state.count)
-    outputs = [
-        _transform_grad(g, s, p, state.count)
-        for g, s, p in zip(grads_flat, new_stats_flat, params_flat)
-    ]
     updates_flat, new_stats_flat = zip(*outputs) if outputs else ((), ())
     updates = jax.tree.unflatten(treedef, updates_flat)
     new_stats = jax.tree.unflatten(treedef, new_stats_flat)
