@@ -19,6 +19,15 @@ import time
 import numpy as np
 
 import jax
+
+# Persist compiled executables across runs: the fixture's programs (ours +
+# the upstream baseline's traced-exponent while_loops) cost ~20 min of XLA
+# compile through the TPU tunnel but milliseconds to reload from cache.
+if not os.environ.get("BENCH_NO_COMPILE_CACHE"):
+  os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+  jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 
@@ -126,6 +135,23 @@ def main():
       "vs_baseline": (round(baseline_time / ours_time, 3)
                       if baseline_time else None),
   }
+  # Per-kernel roofline numbers: measuring them live adds ~15 min of XLA
+  # compile through the TPU tunnel, so by default attach the recorded
+  # artifact from `benchmarks/kernel_breakdown.py` (committed after real
+  # TPU runs); BENCH_BREAKDOWN=1 re-measures live.
+  try:
+    if os.environ.get("BENCH_BREAKDOWN"):
+      from benchmarks import kernel_breakdown
+
+      result["breakdown"] = kernel_breakdown.measure()
+    else:
+      path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "KERNELS_TPU.json")
+      if os.path.exists(path):
+        with open(path) as f:
+          result["breakdown_recorded"] = json.load(f)
+  except Exception as e:  # never lose the headline to a breakdown bug
+    result["breakdown_error"] = repr(e)[:200]
   print(json.dumps(result))
 
 

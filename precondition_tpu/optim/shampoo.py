@@ -192,49 +192,99 @@ class Preconditioner:
     from_float = from_float or (lambda x: x)
     reshaped = jnp.reshape(grad, self._transformed_shape)
     blocks = self._partitioner.partition(reshaped)
-    new_stats = []
+
+    # Group the (block, axis) gram updates by (block shape, axis) and run
+    # each group as ONE batched [B, d, f] x [B, d, f]^T contraction instead
+    # of B tiny dots.  A blocked weight emits dozens-to-hundreds of
+    # identical [128, 128] grams per step; as separate HLO dots they are
+    # dispatch-bound on the MXU, batched they pipeline (same reasoning as
+    # the tearfree stacked layout, `tearfree/shampoo.py`).  FD sketch
+    # entries keep the per-entry path (`lowrank.frequent_directions_update`
+    # is SVD-shaped, not a gram).
+    new_stats: List[Optional[Array]] = [None] * len(stats)
+    groups: dict = {}
     index = 0
-    for g in blocks:
+    for b, g in enumerate(blocks):
       for axis, on in enumerate(self._precond_dims):
         if not on:
           continue
         if frequent_directions and lowrank.should_compress(
             self._compression_rank, g.shape[axis]):
-          new_stat = lowrank.frequent_directions_update(
-              to_float(stats[index]), g, axis, w1, w2)
+          new_stats[index] = from_float(lowrank.frequent_directions_update(
+              to_float(stats[index]), g, axis, w1, w2))
         else:
-          contracted = [i for i in range(g.ndim) if i != axis]
-          gram = jnp.tensordot(g, g, axes=(contracted, contracted),
-                               precision=precision)
-          new_stat = w1 * to_float(stats[index]) + w2 * gram
-        new_stats.append(from_float(new_stat))
+          groups.setdefault((g.shape, axis), []).append((index, b))
         index += 1
+
+    for (shape, axis), members in groups.items():
+      if len(members) == 1:
+        idx, b = members[0]
+        g = blocks[b]
+        contracted = [i for i in range(g.ndim) if i != axis]
+        gram = jnp.tensordot(g, g, axes=(contracted, contracted),
+                             precision=precision)
+        new_stats[idx] = from_float(w1 * to_float(stats[idx]) + w2 * gram)
+        continue
+      gs = jnp.stack([blocks[b] for _, b in members])
+      flat = jnp.reshape(jnp.moveaxis(gs, axis + 1, 1),
+                         (len(members), shape[axis], -1))
+      grams = jnp.einsum("bif,bjf->bij", flat, flat, precision=precision)
+      olds = jnp.stack([to_float(stats[idx]) for idx, _ in members])
+      news = w1 * olds + w2 * grams
+      for i, (idx, _) in enumerate(members):
+        new_stats[idx] = from_float(news[i])
     return new_stats
 
   def preconditioned_grad(self, grad, preconditioners) -> Array:
-    """Apply the per-axis inverse roots to every block of the gradient."""
+    """Apply the per-axis inverse roots to every block of the gradient.
+
+    Square-root blocks of equal shape are contracted as one batched
+    einsum per axis (see `updated_statistics_from_grad` for why); packed
+    low-rank/FD preconditioners keep the per-block path.
+    """
     reshaped = jnp.reshape(grad, self._transformed_shape)
     blocks = self._partitioner.partition(reshaped)
     n_per_block = sum(self._precond_dims)
-    out_blocks = []
-    for b, g in enumerate(blocks):
-      ps = preconditioners[b * n_per_block:(b + 1) * n_per_block]
-      it = iter(ps)
-      # Contract each preconditioned axis in turn; tensordot moves the
-      # contracted axis to the end, so after the full cycle axes are back in
-      # their original order.
+    any_packed = any(p.shape[0] != p.shape[1] for p in preconditioners)
+
+    out_blocks: List[Optional[Array]] = [None] * len(blocks)
+    groups: dict = {}
+    for b in range(len(blocks)):
+      groups.setdefault(blocks[b].shape, []).append(b)
+
+    for shape, idxs in groups.items():
+      if any_packed or len(idxs) == 1:
+        for b in idxs:
+          g = blocks[b]
+          it = iter(preconditioners[b * n_per_block:(b + 1) * n_per_block])
+          # Contract each preconditioned axis in turn; tensordot moves the
+          # contracted axis to the end, so after the full cycle axes are
+          # back in their original order.
+          for on in self._precond_dims:
+            if not on:
+              g = jnp.moveaxis(g, 0, -1)
+              continue
+            pre_mat = next(it)
+            if pre_mat.shape[0] != pre_mat.shape[1]:
+              # Packed low-rank/FD preconditioner.
+              g = lowrank.apply_low_rank_preconditioner(
+                  g, pre_mat, self._compression_rank)
+            else:
+              g = jnp.tensordot(g, pre_mat, axes=[[0], [0]])
+          out_blocks[b] = g
+        continue
+      g = jnp.stack([blocks[b] for b in idxs])  # [B, ...block]
+      slot = 0
       for on in self._precond_dims:
         if not on:
-          g = jnp.moveaxis(g, 0, -1)
+          g = jnp.moveaxis(g, 1, -1)
           continue
-        pre_mat = next(it)
-        if pre_mat.shape[0] != pre_mat.shape[1]:
-          # Packed low-rank/FD preconditioner.
-          g = lowrank.apply_low_rank_preconditioner(
-              g, pre_mat, self._compression_rank)
-        else:
-          g = jnp.tensordot(g, pre_mat, axes=[[0], [0]])
-      out_blocks.append(g)
+        pres = jnp.stack(
+            [preconditioners[b * n_per_block + slot] for b in idxs])
+        g = jnp.einsum("bi...,bij->b...j", g, pres)
+        slot += 1
+      for i, b in enumerate(idxs):
+        out_blocks[b] = g[i]
     merged = self._partitioner.merge_partitions(out_blocks)
     return jnp.reshape(merged, self._original_shape)
 
@@ -308,7 +358,7 @@ def distributed_shampoo(
     decay_preconditioning_compute_steps: bool = False,
     end_preconditioning_compute_steps: Optional[int] = None,
     shard_optimizer_states: bool = False,
-    solver_backend: str = "xla",
+    solver_backend: str = "auto",
     compression_rank: int = 0,
     frequent_directions: bool = False,
     average_grad: bool = False,
@@ -491,11 +541,18 @@ def distributed_shampoo(
     ``prevs`` (when ``reuse_preconditioner``) warm-starts each solve from
     the previous root — see `pth_root.matrix_inverse_pth_root`.
 
-    ``solver_backend='pallas'`` routes supported sizes through the fused
-    VMEM-resident kernel (`ops.pallas.newton_root`) — per-matrix early
-    exit; profitable when iteration counts vary a lot across the batch.
+    ``solver_backend``: ``'xla'`` always uses the vmapped jnp solver;
+    ``'pallas'`` always routes supported sizes through the fused
+    VMEM-resident tile kernel (`ops.pallas.newton_root`); ``'auto'``
+    (default) picks per measured profile (`KERNELS_TPU.json`): Pallas for
+    COLD solves on TPU (1.36x XLA — tile-level early exit beats paying
+    the batch-max iteration count), XLA for WARM re-solves (1-2 Newton
+    iterations leave nothing for the tile to win back, 0.44x).
     """
-    if (solver_backend == "pallas" and not eigh
+    use_pallas = solver_backend == "pallas" or (
+        solver_backend == "auto" and prevs is None
+        and jax.default_backend() == "tpu")
+    if (use_pallas and not eigh
         and lobpcg_topk_precondition == 0 and isinstance(exps, int)):
       from precondition_tpu.ops.pallas import newton_root
 

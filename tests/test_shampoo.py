@@ -374,6 +374,28 @@ class TestShardedMode:
           np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
       chex.assert_tree_all_finite((d_up, d_state))
 
+  def test_delayed_composes_with_reuse_and_quantized(self):
+    """delayed + warm-started solves + int8/int16 state run together (the
+    production steady-state combination) and track the plain delayed
+    trajectory within warm-start tolerance."""
+    params, grads = _fixture()
+    ref_tx = shampoo.distributed_shampoo(
+        **COMMON, delayed_preconditioning=True)
+    tx = shampoo.distributed_shampoo(
+        **COMMON, delayed_preconditioning=True, reuse_preconditioner=True,
+        best_effort_memory_usage_reduction=True)
+    ref_state, state = ref_tx.init(params), tx.init(params)
+    ref_upd, upd = jax.jit(ref_tx.update), jax.jit(tx.update)
+    for g in grads:
+      ref_u, ref_state = ref_upd(g, ref_state, params)
+      u, state = upd(g, state, params)
+      chex.assert_tree_all_finite((u, state))
+    # int16 statistics + warm starts perturb the roots slightly; the
+    # final update direction must still match closely.
+    for key in ("w", "t"):
+      np.testing.assert_allclose(
+          np.asarray(u[key]), np.asarray(ref_u[key]), rtol=5e-2, atol=5e-3)
+
   def test_delayed_rejects_fd(self):
     with pytest.raises(ValueError):
       shampoo.distributed_shampoo(
