@@ -58,40 +58,69 @@ HYPERS = dict(
 )
 
 
-def _prepare(tx, params, grads, warmup=3):
-  """Compile and settle state past the ill-conditioned first steps."""
-  state = tx.init(params)
-  update = jax.jit(tx.update)
-  for _ in range(warmup):
-    updates, state = update(grads, state, params)
-  jax.block_until_ready(updates)
-  return update, state
+def _fence(x) -> None:
+  """Drain the device queue: 4-byte scalar readback.
+
+  Through the remote-TPU tunnel `jax.block_until_ready` returns at
+  enqueue, so a timing window "ended" with it still contains the
+  *previous* window's executing work (queue cross-contamination between
+  interleaved candidates — observed as run-to-run ratio swings).  Only a
+  device->host readback truly waits; a scalar keeps the transfer cost at
+  the ~30 ms round-trip floor.
+  """
+  leaf = jax.tree.leaves(x)[0]
+  np.asarray(jnp.ravel(leaf)[0])
 
 
-def _measure_round(update, state, grads, params, iters):
-  start = time.perf_counter()
-  for _ in range(iters):
-    updates, state = update(grads, state, params)
-  jax.block_until_ready(updates)
-  return (time.perf_counter() - start) / iters, state
+def _steps_program(tx):
+  """One jitted program running k optimizer steps as a device-side loop.
+
+  Dispatching steps one python call at a time measures the tunnel's
+  enqueue pipeline, not the chip (a full step "measured" 60-80 ms that
+  way; the honest number is ~an order of magnitude higher).  A
+  `fori_loop` over the update keeps all k steps inside one program, so
+  host/tunnel effects appear once, and the k=LOOP_ITERS vs k=1
+  difference cancels that once too.
+  """
+  def run(state, k, grads, params):
+    def body(_, st):
+      _, st2 = tx.update(grads, st, params)
+      return st2
+    return jax.lax.fori_loop(0, k, body, state)
+
+  return jax.jit(run)
 
 
-def _time_interleaved(runs, iters=10, rounds=4):
-  """Min-of-interleaved-rounds per run.
+LOOP_ITERS = 8
+
+
+def _time_interleaved(runs, iters=LOOP_ITERS, rounds=4):
+  """Min-of-interleaved-rounds per-step seconds for each candidate.
 
   The tunneled chip's throughput drifts on multi-second scales, so the
-  candidates' rounds alternate (A B A B ...) instead of timing each one in
-  its own window.
+  candidates' rounds alternate (A B A B ...) instead of timing each one
+  in its own window.  Each sample is (t[k=iters] - t[k=1]) / (iters-1),
+  with a scalar-readback fence ending every window (block_until_ready
+  returns at enqueue through the tunnel and must not be trusted).
   """
-  prepared = {name: _prepare(tx, params, grads)
-              for name, (tx, params, grads) in runs.items()}
+  prepared = {}
+  for name, (tx, params, grads) in runs.items():
+    run = _steps_program(tx)
+    state = run(tx.init(params), 3, grads, params)  # compile + settle
+    _fence(state)
+    prepared[name] = (run, state)
+
   best = {name: float("inf") for name in runs}
   for _ in range(rounds):
     for name, (tx, params, grads) in runs.items():
-      update, state = prepared[name]
-      dt, state = _measure_round(update, state, grads, params, iters)
-      prepared[name] = (update, state)
-      best[name] = min(best[name], dt)
+      run, state = prepared[name]
+      t0 = time.perf_counter()
+      _fence(run(state, iters, grads, params))
+      t_many = time.perf_counter() - t0
+      t0 = time.perf_counter()
+      _fence(run(state, 1, grads, params))
+      t_one = time.perf_counter() - t0
+      best[name] = min(best[name], max(t_many - t_one, 1e-9) / (iters - 1))
   return best
 
 
@@ -129,7 +158,11 @@ def main():
   baseline_time = best.get("baseline")
 
   result = {
-      "metric": "shampoo_step_time_17M_block128",
+      # Renamed from r01's "...17M..." (the tree is 58.7M params) and
+      # re-measured with the in-program loop harness: r01's 62.974 ms was
+      # tunnel enqueue rate, not chip time — values are not comparable
+      # across rounds; `vs_baseline` (same-harness, interleaved) is.
+      "metric": "shampoo_step_time_58M_block128",
       "value": round(ours_time * 1e3, 3),
       "unit": "ms",
       "vs_baseline": (round(baseline_time / ours_time, 3)

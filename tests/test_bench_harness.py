@@ -1,0 +1,57 @@
+"""Guards for the driver-facing bench harness (bench.py).
+
+bench.py's full fixture is TPU-scale; these tests exercise the timing
+machinery itself on a tiny problem so harness regressions (fence
+semantics, loop program, interleave bookkeeping) fail in CI rather than
+in the driver's end-of-round TPU run.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+from precondition_tpu.optim import shampoo
+
+
+def _tiny():
+  params = {"w": jnp.asarray(np.random.RandomState(0).randn(32, 24),
+                             jnp.float32)}
+  grads = jax.tree.map(lambda p: p * 0.01, params)
+  tx = shampoo.distributed_shampoo(
+      learning_rate=0.1, block_size=8, start_preconditioning_step=0,
+      generate_training_metrics=False)
+  return tx, params, grads
+
+
+class TestBenchHarness:
+
+  def test_time_interleaved_returns_positive_per_step(self):
+    tx, params, grads = _tiny()
+    best = bench._time_interleaved({"a": (tx, params, grads),
+                                    "b": (tx, params, grads)}, rounds=2)
+    assert set(best) == {"a", "b"}
+    for v in best.values():
+      assert 0 < v < 60
+
+  def test_steps_program_advances_count(self):
+    tx, params, grads = _tiny()
+    run = bench._steps_program(tx)
+    state = run(tx.init(params), 5, grads, params)
+    assert int(state.count) == 5
+
+  def test_fence_completes_on_pytree(self):
+    tx, params, grads = _tiny()
+    state = tx.init(params)
+    bench._fence(state)  # must not raise on nested state pytrees
+
+  def test_param_tree_shape_is_stable(self):
+    # The recorded metric's fixture: keep it byte-identical across rounds
+    # so vs_baseline stays comparable. (~58.7M params; the metric name's
+    # "17M" is historical.)
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree.leaves(bench._param_tree(
+                np.random.RandomState(0))))
+    assert n == 58_724_352
