@@ -361,6 +361,7 @@ def distributed_shampoo(
     solver_backend: str = "auto",
     compression_rank: int = 0,
     frequent_directions: bool = False,
+    reset_preconditioner: bool = False,
     average_grad: bool = False,
     best_effort_memory_usage_reduction: bool = False,
 ) -> optax.GradientTransformation:
@@ -389,6 +390,16 @@ def distributed_shampoo(
   if frequent_directions and compression_rank <= 0:
     raise ValueError(
         "frequent_directions requires a positive compression_rank.")
+  # Windowed-FD restart (`distributed_shampoo.py:2019-2024, 2140-2145`):
+  # turn the EMA window into a hard restart every ~1/(1-beta2) steps by
+  # zeroing the packed FD preconditioner on schedule and disabling decay.
+  reset_frequency = None
+  if reset_preconditioner:
+    if not frequent_directions:
+      raise ValueError("reset_preconditioner requires frequent_directions.")
+    reset_frequency = (int(np.round(1.0 / (1.0 - beta2)))
+                       if beta2 != 1.0 else None)
+    beta2 = 1.0
   if shard_optimizer_states and compression_rank:
     raise ValueError(
         "compression is not supported in the memory-sharded mode.")
@@ -759,6 +770,8 @@ def distributed_shampoo(
         else:  # fd: statistics are Cholesky factors, prev is required.
           stacked = jnp.stack([padded[i] for i in idxs])
           prevs = jnp.stack([_pad_packed(prev_pre[i]) for i in idxs])
+          if reset_frequency is not None:
+            prevs = jnp.where(step % reset_frequency == 0, 0.0, 1.0) * prevs
           roots, metrics = jax.vmap(
               lambda g, pv, d: lowrank.fd_update_root(
                   g, exp, abs(compression_rank),

@@ -165,6 +165,11 @@ class TestShampoo:
       # Upstream's FD path requires reuse_preconditioner to plumb `prev`.
       dict(compression_rank=1, frequent_directions=True,
            reuse_preconditioner=True),
+      # Windowed-FD restart: beta2=0.75 -> reset every 4 steps, so the
+      # zeroing fires inside the 6-step comparison window.
+      dict(compression_rank=1, frequent_directions=True,
+           reuse_preconditioner=True, reset_preconditioner=True,
+           beta2=0.75),
   ])
   def test_matches_upstream_compression(self, kwargs):
     # The larger fixture gives dims where rank+2 < d so compression kicks
@@ -401,6 +406,10 @@ class TestShardedMode:
       shampoo.distributed_shampoo(
           **COMMON, delayed_preconditioning=True, compression_rank=2,
           frequent_directions=True, reuse_preconditioner=True)
+
+  def test_reset_preconditioner_requires_fd(self):
+    with pytest.raises(ValueError):
+      shampoo.distributed_shampoo(**COMMON, reset_preconditioner=True)
 
   def test_sharded_reuse_preconditioner_matches_cold(self):
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
