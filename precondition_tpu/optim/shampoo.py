@@ -430,6 +430,21 @@ def distributed_shampoo(
       GraftingType.ADAGRAD, GraftingType.RMSPROP,
       GraftingType.RMSPROP_NORMALIZED, GraftingType.ADAGRAD_NORMALIZED)
 
+  # When the solve spec is a NamedSharding it carries the mesh, so the
+  # padding multiple the shard_map solve needs can be inferred; without it
+  # an unset num_devices_for_pjit silently falls back to the resharding
+  # (replicate-then-partition) path on uneven batch counts.
+  def _solver_count_from_spec(spec):
+    if isinstance(spec, jax.sharding.NamedSharding) and len(spec.spec):
+      lead = spec.spec[0]
+      axes = (lead,) if isinstance(lead, str) else tuple(lead or ())
+      return int(np.prod([spec.mesh.shape[a] for a in axes], initial=1))
+    return None
+
+  inferred_num_shards = (
+      _solver_count_from_spec(preconditioner_partition_spec)
+      or _solver_count_from_spec(statistics_partition_spec))
+
   def preconditioner_from_params(param) -> Preconditioner:
     return Preconditioner(param, block_size, merge_small_dims_block_size,
                           best_effort_shape_interpretation,
@@ -713,7 +728,7 @@ def distributed_shampoo(
     if batch_axis_name:
       num_shards = lax.psum(1, batch_axis_name)
     else:
-      num_shards = num_devices_for_pjit or 1
+      num_shards = num_devices_for_pjit or inferred_num_shards or 1
     padded = [shape_utils.pad_square_matrix(s, max_size) for s in statistics]
     pd = lowrank.precond_dim(compression_rank, max_size)
 

@@ -62,11 +62,22 @@ def sharded_chain(
     specs = []
     for tx in transforms:
       fn = getattr(tx, "init_partition_spec", None)
-      if not callable(fn):
-        raise ValueError(
-            "sharded_chain requires every transform to provide "
-            "init_partition_spec")
-      specs.append(fn(mdl_vars))
+      if callable(fn):
+        specs.append(fn(mdl_vars))
+      else:
+        # Plain optax members (e.g. `optax.scale`, the lr stage) carry
+        # no spec method; synthesize one from their init state — array
+        # leaves become replicated WeightHParams, everything else (empty
+        # NamedTuples, MaskedNode) passes through.  The reference raises
+        # here instead, which breaks `tearfree(...).init_partition_spec`
+        # for every chain ending in a learning-rate stage.
+        state = tx.init(mdl_vars)
+        specs.append(jax.tree.map(
+            lambda x: WeightHParams(
+                shape=list(x.shape), init=None, dtype=x.dtype,
+                collections=None, tensor_split_dims_mapping=[-1] * x.ndim)
+            if isinstance(x, (jax.Array, jnp.ndarray)) else x,
+            state))
     return optax.MaskedState(inner_state=tuple(specs))
 
   return ShardedGradientTransformation(

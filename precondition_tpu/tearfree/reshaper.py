@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from precondition_tpu.tearfree import praxis_shim
 from precondition_tpu.utils import shapes as shape_utils
 
 
@@ -60,7 +61,7 @@ def _validate(options: Options):
         f"block_size ({options.block_size}) must be at least 2 (or 0)")
 
 
-def merge(options: Options) -> optax.GradientTransformation:
+def merge(options: Options) -> praxis_shim.ShardedGradientTransformation:
   """Merge small dims and zero-pad large ones (gradients only)."""
   _validate(options)
 
@@ -78,10 +79,15 @@ def merge(options: Options) -> optax.GradientTransformation:
     shapes = jax.tree.map(functools.partial(_derive_shapes, options), params)
     return jax.tree.map(_merge, updates, shapes), state
 
-  return optax.GradientTransformation(lambda _: optax.MaskedNode(), update_fn)
+  # Stateless, so the partition spec is trivially empty; providing it lets
+  # the whole tearfree chain satisfy `init_partition_spec` (the reference
+  # leaves this hole open — `second_order.py:66` TODO).
+  return praxis_shim.ShardedGradientTransformation(
+      lambda _: optax.MaskedNode(), update_fn,
+      lambda _: optax.MaskedNode())
 
 
-def unmerge(options: Options) -> optax.GradientTransformation:
+def unmerge(options: Options) -> praxis_shim.ShardedGradientTransformation:
   """Inverse of `merge`."""
   _validate(options)
 
@@ -97,4 +103,6 @@ def unmerge(options: Options) -> optax.GradientTransformation:
     shapes = jax.tree.map(functools.partial(_derive_shapes, options), params)
     return jax.tree.map(_unmerge, updates, shapes), state
 
-  return optax.GradientTransformation(lambda _: optax.MaskedNode(), update_fn)
+  return praxis_shim.ShardedGradientTransformation(
+      lambda _: optax.MaskedNode(), update_fn,
+      lambda _: optax.MaskedNode())

@@ -469,11 +469,15 @@ class TestMultiDevice:
           jax.tree.map(lambda x: x[0], m_up), s_updates[step],
           rtol=2e-4, atol=1e-6, custom_message=f"step {step}")
 
-  def test_sharded_solve_no_full_rematerialization(self, capfd):
+  @pytest.mark.parametrize("pad_devices", [8, None])
+  def test_sharded_solve_no_full_rematerialization(self, capfd, pad_devices):
     """The shard_map solve must compile without SPMD falling back to
     "Involuntary full rematerialization" (replicate-then-reshard) when
     distributing the per-statistic roots — the silent perf cliff the
-    round-1 with_sharding_constraint formulation hit."""
+    round-1 with_sharding_constraint formulation hit. With
+    ``pad_devices=None`` the padding multiple must be inferred from the
+    NamedSharding's mesh (unset num_devices_for_pjit used to fall back to
+    the resharding path on uneven batch counts)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     n_dev = jax.local_device_count()
@@ -487,7 +491,7 @@ class TestMultiDevice:
         **COMMON,
         statistics_partition_spec=solve_sharding,
         preconditioner_partition_spec=solve_sharding,
-        num_devices_for_pjit=8)
+        num_devices_for_pjit=pad_devices)
     state = tx.init(params)
     capfd.readouterr()  # drop anything emitted before the compile
     compiled = jax.jit(tx.update).lower(grads[0], state, params).compile()
