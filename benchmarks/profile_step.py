@@ -2,7 +2,12 @@
 
 Run on TPU:  python benchmarks/profile_step.py [--trace_dir /tmp/xprof]
 
-With ``--trace_dir`` the timed sections run under ``jax.profiler.trace``;
+All timings use the in-program ``lax.fori_loop`` harness with a scalar
+device->host readback fence (see ``benchmarks/kernel_breakdown.py``):
+through the remote-TPU tunnel ``jax.block_until_ready`` returns at enqueue,
+so naive repeated-call timing measures the dispatch pipeline, not the chip.
+
+With ``--trace_dir`` the full-step section runs under ``jax.profiler.trace``;
 the captured trace labels HLO with the library's `jax.named_scope`
 annotations (ShampooStatistics / ShampooRootSolve / ShampooPrecondition /
 PowerIteration / CoupledNewton / LOBPCGDeflation) for xprof/TensorBoard
@@ -10,6 +15,8 @@ PowerIteration / CoupledNewton / LOBPCGDeflation) for xprof/TensorBoard
 """
 
 import contextlib
+import json
+import os
 import sys
 import time
 
@@ -18,8 +25,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+if not os.environ.get("BENCH_NO_COMPILE_CACHE"):
+  os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+  jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from precondition_tpu.ops import pth_root
 from precondition_tpu.optim import shampoo
+
+from benchmarks.kernel_breakdown import _rtt, _sync, _timeit_loop
 
 
 def _maybe_trace():
@@ -29,93 +43,124 @@ def _maybe_trace():
   return contextlib.nullcontext()
 
 
-def timeit(fn, *args, iters=8, warmup=1):
-  for _ in range(warmup):
-    out = fn(*args)
-  jax.block_until_ready(out)
-  t0 = time.perf_counter()
-  for _ in range(iters):
-    out = fn(*args)
-  jax.block_until_ready(out)
-  return (time.perf_counter() - t0) / iters * 1e3, out
+def _step_ms(tx, params, grads, rtt, k=8, settle_steps=2):
+  """Per-step ms of ``tx.update`` as a device-side loop after settling.
+
+  ``settle_steps`` runs the update outside the timed loop first so
+  count-dependent behavior (initial solves, warmup switches) lands in a
+  steady state before measurement.
+  """
+  state = tx.init(params)
+
+  def body(_, st):
+    _, st2 = tx.update(grads, st, params)
+    return st2
+
+  settle = jax.jit(lambda st: lax.fori_loop(0, settle_steps, body, st))
+  state = settle(state)
+  _sync(jax.tree.leaves(state))
+
+  def loop_body(_, st):
+    _, st2 = tx.update(grads, st, params)
+    return st2
+
+  t = _timeit_loop(loop_body, state, k=k, rtt=rtt)
+  return t * 1e3
 
 
 def main():
   rng = np.random.RandomState(0)
-  # The bench fixture's statistics load: transformer-ish, block 128.
-  sys_sizes = {"d": 1024, "ff": 4096, "vocab": 8192, "layers": 4}
-  # Count blocks: see bench.py _param_tree.
-  n, m = 712, 128
+  rtt = _rtt()
+  out = {"tunnel_rtt_ms": round(rtt * 1e3, 1)}
+  small = bool(os.environ.get("PROFILE_SMALL"))  # CPU smoke of the harness
+  n, m = (24, 16) if small else (712, 128)  # bench fixture: blocks x size
 
   stats = jnp.asarray(rng.randn(n, m, m), jnp.float32)
   stats = jnp.einsum("nij,nkj->nik", stats, stats) / m  # PSD batch
-  exps = jnp.full((n,), 4, jnp.int32)
   pads = jnp.full((n,), m, jnp.int32)
 
-  solve = jax.jit(lambda s, e, p: pth_root.batched_inverse_pth_root(s, e, p))
-  t_solve, (roots, metrics) = timeit(solve, stats, exps, pads)
-  print(f"newton solve [{n},{m},{m}]: {t_solve:.2f} ms "
-        f"(max err {float(jnp.max(metrics.error)):.2e}, "
-        f"max iters {float(jnp.max(metrics.iterations)):.0f}, "
-        f"max retries {float(jnp.max(metrics.retries)):.0f})")
+  def solve_body(_, carry):
+    r, _ = pth_root.batched_inverse_pth_root(stats + 1e-30 * carry, 4, pads)
+    return r
 
-  solve_eigh = jax.jit(lambda s, e, p: pth_root.batched_inverse_pth_root(
-      s, e, p, eigh=True))
-  t_eigh, _ = timeit(solve_eigh, stats, exps, pads)
-  print(f"eigh solve: {t_eigh:.2f} ms")
+  t_solve = _timeit_loop(solve_body, jnp.zeros_like(stats), k=4, rtt=rtt)
+  out["newton_solve_ms"] = round(t_solve * 1e3, 2)
+  print(f"newton solve [{n},{m},{m}]: {out['newton_solve_ms']:.2f} ms")
 
-  # Precision ablation on the Newton path.
-  solve_default = jax.jit(lambda s, e, p: pth_root.batched_inverse_pth_root(
-      s, e, p, precision=lax.Precision.DEFAULT))
-  t_def, (_, m_def) = timeit(solve_default, stats, exps, pads)
-  print(f"newton DEFAULT precision: {t_def:.2f} ms "
-        f"(max err {float(jnp.max(m_def.error)):.2e})")
+  def eigh_body(_, carry):
+    r, _ = pth_root.batched_inverse_pth_root(
+        stats + 1e-30 * carry, 4, pads, eigh=True)
+    return r
 
-  # Statistics contraction (gram updates) for one 1024x4096 param blocked
-  # at 128: 8*32=256 blocks x 2 axes.
-  g = jnp.asarray(rng.randn(256, 128, 128), jnp.float32)
-  s0 = jnp.zeros((256, 128, 128), jnp.float32)
+  t_eigh = _timeit_loop(eigh_body, jnp.zeros_like(stats), k=4, rtt=rtt)
+  out["eigh_solve_ms"] = round(t_eigh * 1e3, 2)
+  print(f"eigh solve: {out['eigh_solve_ms']:.2f} ms")
 
-  @jax.jit
-  def gram(s, g):
+  # Statistics contraction (gram updates) on the full fixture batch.
+  g = jnp.asarray(rng.randn(n, m, m), jnp.float32)
+  s0 = jnp.zeros((n, m, m), jnp.float32)
+
+  def gram_body(_, s):
     return 0.999 * s + 0.001 * jnp.einsum(
         "nij,nkj->nik", g, g, precision=lax.Precision.HIGHEST)
 
-  t_gram, _ = timeit(gram, s0, g)
-  print(f"gram update [256,128,128]: {t_gram:.3f} ms")
+  t_gram = _timeit_loop(gram_body, s0, k=32, rtt=rtt)
+  out["gram_update_ms"] = round(t_gram * 1e3, 3)
+  print(f"gram update [{n},{m},{m}]: {out['gram_update_ms']:.3f} ms")
 
-  # Full optimizer step for reference.
+  # Full optimizer step vs its solve-free and stats-free ablations.
   import bench
-  params = bench._param_tree(rng)
+  if small:
+    params = {"w": jnp.asarray(rng.randn(32, 48), jnp.float32),
+              "b": jnp.asarray(rng.randn(48), jnp.float32)}
+  else:
+    params = bench._param_tree(rng)
   grads = jax.tree.map(
       lambda p: jnp.asarray(rng.randn(*p.shape) * 0.01, jnp.float32), params)
-  tx = shampoo.distributed_shampoo(
-      **bench.HYPERS, graft_type=shampoo.GraftingType.RMSPROP)
-  state = tx.init(params)
-  update = jax.jit(tx.update)
-  u, s2 = update(grads, state, params)
-  jax.block_until_ready(u)
-  with _maybe_trace():  # named_scope-labelled xprof capture of the step
-    t0 = time.perf_counter()
-    for _ in range(8):
-      u, s2 = update(grads, state, params)
-    jax.block_until_ready(u)
-  print(f"full step: {(time.perf_counter()-t0)/8*1e3:.2f} ms")
 
-  # Step with solve gated off (preconditioning_compute_steps large).
+  tx = shampoo.distributed_shampoo(
+      **bench.HYPERS, graft_type=shampoo.GraftingType.RMSPROP,
+      generate_training_metrics=False)
+  with _maybe_trace():  # named_scope-labelled xprof capture of the step
+    out["full_step_ms"] = round(_step_ms(tx, params, grads, rtt), 2)
+  print(f"full step: {out['full_step_ms']:.2f} ms")
+
+  tx_warm = shampoo.distributed_shampoo(
+      **bench.HYPERS, graft_type=shampoo.GraftingType.RMSPROP,
+      generate_training_metrics=False, reuse_preconditioner=True)
+  out["full_step_warmstart_ms"] = round(_step_ms(tx_warm, params, grads, rtt),
+                                        2)
+  print(f"full step (warm-started solves): {out['full_step_warmstart_ms']:.2f}"
+        " ms")
+
+  # Solve gated off: preconditioning_compute_steps huge, settled past the
+  # count=0 solve. What remains is stats EMA + grafting + transform.
   tx2 = shampoo.distributed_shampoo(
       **{**bench.HYPERS, "preconditioning_compute_steps": 1000},
-      graft_type=shampoo.GraftingType.RMSPROP)
-  state2 = tx2.init(params)
-  update2 = jax.jit(tx2.update)
-  u, s3 = update2(grads, state2, params)  # count=0 solves; later steps skip
-  u, s3 = update2(grads, s3, params)
-  jax.block_until_ready(u)
-  t0 = time.perf_counter()
-  for _ in range(8):
-    u, s4 = update2(grads, s3, params)
-  jax.block_until_ready(u)
-  print(f"step without solve: {(time.perf_counter()-t0)/8*1e3:.2f} ms")
+      graft_type=shampoo.GraftingType.RMSPROP,
+      generate_training_metrics=False)
+  out["step_without_solve_ms"] = round(_step_ms(tx2, params, grads, rtt), 2)
+  print(f"step without solve: {out['step_without_solve_ms']:.2f} ms")
+
+  # Stats also gated off: grafting + transform + bookkeeping only.
+  tx3 = shampoo.distributed_shampoo(
+      **{**bench.HYPERS, "preconditioning_compute_steps": 1000,
+         "statistics_compute_steps": 1000},
+      graft_type=shampoo.GraftingType.RMSPROP,
+      generate_training_metrics=False)
+  out["step_transform_only_ms"] = round(_step_ms(tx3, params, grads, rtt), 2)
+  print(f"step transform-only: {out['step_transform_only_ms']:.2f} ms")
+
+  out["solve_share_ms"] = round(
+      out["full_step_ms"] - out["step_without_solve_ms"], 2)
+  out["stats_share_ms"] = round(
+      out["step_without_solve_ms"] - out["step_transform_only_ms"], 2)
+  print(json.dumps(out))
+  if not small:  # recorded artifact only for the real fixture
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "STEP_BREAKDOWN_TPU.json")
+    with open(path, "w") as f:
+      json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
