@@ -82,24 +82,24 @@ def tile_for(m: int, warm: bool = False) -> int:
   return max(1, min(8, budget // (m * m)))
 
 
-def _bmm(a, b):
-  """Batched [k,m,m] @ [k,m,m] on the MXU at full f32 precision."""
+def _bmm(a, b, prec=lax.Precision.HIGHEST):
+  """Batched [k,m,m] @ [k,m,m] on the MXU."""
   return lax.dot_general(
       a, b, (((2,), (1,)), ((0,), (0,))),
-      precision=lax.Precision.HIGHEST,
+      precision=prec,
       preferred_element_type=jnp.float32)
 
 
-def _bmat_power(mat, p: int):
+def _bmat_power(mat, p: int, prec=lax.Precision.HIGHEST):
   """mat**p (static p) by square-and-multiply; log2(p) batched matmuls."""
   assert p >= 1
   out = None
   while p > 0:
     if p % 2:
-      out = mat if out is None else _bmm(out, mat)
+      out = mat if out is None else _bmm(out, mat, prec)
     p //= 2
     if p:
-      mat = _bmm(mat, mat)
+      mat = _bmm(mat, mat, prec)
   return out
 
 
@@ -136,6 +136,11 @@ def _power_iteration(mat, row_mask, num_iters=100, tol=1e-6):
 
   mat: [k,m,m] (already padding-masked); row_mask: [k,m,1].
   Returns [k,1,1].
+
+  The exit tolerance is *relative* to the current estimate: the
+  eigenvalue only scales the ridge, so chasing 1e-6 absolute on a
+  spectrum of O(10-100) burns ~100 sequential latency-bound matvecs for
+  a ridge shift that changes the root below solver tolerance.
   """
   k, m, _ = mat.shape
   v0 = _hash_vector(k, m) * row_mask
@@ -153,7 +158,8 @@ def _power_iteration(mat, row_mask, num_iters=100, tol=1e-6):
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     ev_new = _rowsum2(v * mv)
-    run = _any(jnp.abs(ev_new - ev) > tol)
+    run = _any(jnp.abs(ev_new - ev)
+               > tol * jnp.maximum(jnp.abs(ev_new), 1.0))
     return i + 1, mv, ev_new, run
 
   _, _, ev, _ = lax.while_loop(
@@ -164,7 +170,7 @@ def _power_iteration(mat, row_mask, num_iters=100, tol=1e-6):
 def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
             ridge_epsilon, error_tolerance, relative_matrix_epsilon,
             warm_error_threshold, retry_threshold, num_tries,
-            max_error_ratio):
+            max_error_ratio, coarse_prec, coarse_tolerance):
   if warm:
     (prevs_ref, roots_ref, err_ref, iters_ref, retries_ref,
      maxev_ref) = rest
@@ -211,31 +217,41 @@ def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
   else:
     total_rounds = num_tries
 
+  # Mixed-precision ladder (cold tiles only): coarse matmuls until
+  # `coarse_tolerance`, rebuild the coupled invariant M = H^p (A + r I)
+  # at full precision (coarse rounding erodes it and H, a running
+  # product, is not self-correcting), then polish to `error_tolerance`.
+  ladder = (not warm and coarse_prec is not None
+            and coarse_tolerance > error_tolerance)
+
   # Per-member masks live in the while-loop carries as {0,1} float32 —
   # Mosaic cannot yield i1 vectors across loop boundaries.
-  def newton_cond(state):
-    i, _, _, _, _, active = state
-    return jnp.logical_and(i < num_iters, jnp.max(active) > 0.0)
+  def _make_newton(prec, tol):
+    def newton_cond(state):
+      i, _, _, _, _, active = state
+      return jnp.logical_and(i < num_iters, jnp.max(active) > 0.0)
 
-  def newton_body(state):
-    i, mat_m, mat_h, error, iters, active = state
-    mat_t = (1.0 + inv_p) * eye + alpha * mat_m
-    new_m = _bmm(_bmat_power(mat_t, p), mat_m)
-    new_h = _bmm(mat_h, mat_t)
-    new_error = _rowmax(jnp.abs(new_m - eye))
-    ratio = new_error / jnp.maximum(error, 1e-30)
-    # A divergent step is rejected outright: (mat_h, error) stay at the
-    # last good iterate/error pair, which is exactly what the member
-    # should report (the XLA path's old_h rollback, expressed as
-    # never-adopt instead of adopt-then-undo).
-    step_ok = active * (ratio < max_error_ratio).astype(jnp.float32)
-    take = step_ok > 0.5
-    mat_m = jnp.where(take, new_m, mat_m)
-    mat_h = jnp.where(take, new_h, mat_h)
-    error = jnp.where(take, new_error, error)
-    iters = iters + step_ok
-    active = step_ok * (error > error_tolerance).astype(jnp.float32)
-    return i + 1, mat_m, mat_h, error, iters, active
+    def newton_body(state):
+      i, mat_m, mat_h, error, iters, active = state
+      mat_t = (1.0 + inv_p) * eye + alpha * mat_m
+      new_m = _bmm(_bmat_power(mat_t, p, prec), mat_m, prec)
+      new_h = _bmm(mat_h, mat_t, prec)
+      new_error = _rowmax(jnp.abs(new_m - eye))
+      ratio = new_error / jnp.maximum(error, 1e-30)
+      # A divergent step is rejected outright: (mat_h, error) stay at the
+      # last good iterate/error pair, which is exactly what the member
+      # should report (the XLA path's old_h rollback, expressed as
+      # never-adopt instead of adopt-then-undo).
+      step_ok = active * (ratio < max_error_ratio).astype(jnp.float32)
+      take = step_ok > 0.5
+      mat_m = jnp.where(take, new_m, mat_m)
+      mat_h = jnp.where(take, new_h, mat_h)
+      error = jnp.where(take, new_error, error)
+      iters = iters + step_ok
+      active = step_ok * (error > tol).astype(jnp.float32)
+      return i + 1, mat_m, mat_h, error, iters, active
+
+    return newton_cond, newton_body
 
   def retry_body(state):
     rnd, root, error, iters, retries, failed, warm_final = state
@@ -261,10 +277,26 @@ def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
       h0 = jnp.where(use_warm > 0.5, prev * jnp.exp(jnp.log(z_w) * inv_p), h0)
     err0 = _rowmax(jnp.abs(m0 - eye))
     zeros = jnp.zeros((k, 1, 1), jnp.float32)
-    _, _, mat_h, n_error, n_iters, _ = lax.while_loop(
-        newton_cond, newton_body,
-        (0, m0, h0, err0, zeros,
-         failed * (err0 > error_tolerance).astype(jnp.float32)))
+    if ladder:
+      cond1, body1 = _make_newton(coarse_prec, coarse_tolerance)
+      _, _, mid_h, _, mid_iters, _ = lax.while_loop(
+          cond1, body1,
+          (0, m0, h0, err0, zeros,
+           failed * (err0 > coarse_tolerance).astype(jnp.float32)))
+      m_rb = _bmm(_bmat_power(mid_h, p), damped)
+      err_rb = _rowmax(jnp.abs(m_rb - eye))
+      cond2, body2 = _make_newton(lax.Precision.HIGHEST, error_tolerance)
+      _, _, mat_h, n_error, n_iters, _ = lax.while_loop(
+          cond2, body2,
+          (0, m_rb, mid_h, err_rb, mid_iters,
+           failed * (err_rb > error_tolerance).astype(jnp.float32)))
+    else:
+      newton_cond, newton_body = _make_newton(
+          lax.Precision.HIGHEST, error_tolerance)
+      _, _, mat_h, n_error, n_iters, _ = lax.while_loop(
+          newton_cond, newton_body,
+          (0, m0, h0, err0, zeros,
+           failed * (err0 > error_tolerance).astype(jnp.float32)))
     # Only members that entered this round adopt its results.
     entered = failed > 0.5
     root = jnp.where(entered, mat_h, root)
@@ -322,6 +354,8 @@ def batched_inverse_pth_root_pallas(
     retry_loop_error_threshold: float = 0.05,
     num_tries: int = 6,
     max_error_ratio: float = 1.2,
+    coarse_precision: Optional[lax.Precision] = lax.Precision.HIGH,
+    coarse_tolerance: float = 1e-3,
     interpret: bool = False,
 ) -> Tuple[Array, RootMetrics]:
   """Drop-in fused replacement for `pth_root.batched_inverse_pth_root`.
@@ -369,7 +403,8 @@ def batched_inverse_pth_root_pallas(
       relative_matrix_epsilon=relative_matrix_epsilon,
       warm_error_threshold=warm_error_threshold,
       retry_threshold=retry_loop_error_threshold, num_tries=num_tries,
-      max_error_ratio=max_error_ratio)
+      max_error_ratio=max_error_ratio, coarse_prec=coarse_precision,
+      coarse_tolerance=coarse_tolerance)
 
   mat_spec = pl.BlockSpec((k, m, m), lambda i, *_: (i, 0, 0),
                           memory_space=pltpu.VMEM)
