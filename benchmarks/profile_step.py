@@ -151,6 +151,27 @@ def main():
   out["step_transform_only_ms"] = round(_step_ms(tx3, params, grads, rtt), 2)
   print(f"step transform-only: {out['step_transform_only_ms']:.2f} ms")
 
+  # Secondary fixtures: block-256 Shampoo (the "increase block size with
+  # compute budget" knob) and the tearfree stack on the same tree.
+  tx4 = shampoo.distributed_shampoo(
+      **{**bench.HYPERS, "block_size": 256},
+      graft_type=shampoo.GraftingType.RMSPROP,
+      generate_training_metrics=False)
+  out["full_step_block256_ms"] = round(_step_ms(tx4, params, grads, rtt), 2)
+  print(f"full step block 256: {out['full_step_block256_ms']:.2f} ms")
+
+  from precondition_tpu.tearfree import optimizer as tearfree_opt
+  from precondition_tpu.tearfree import second_order, shampoo as tf_shampoo
+  tf = tearfree_opt.tearfree(
+      learning_rate=0.1,
+      options=tearfree_opt.TearfreeOptions(
+          second_order_options=second_order.Options(
+              shampoo_options=tf_shampoo.Options(
+                  block_size=128, update_preconditioners_freq=1,
+                  update_statistics_freq=1))))
+  out["tearfree_step_ms"] = round(_step_ms(tf, params, grads, rtt), 2)
+  print(f"tearfree step: {out['tearfree_step_ms']:.2f} ms")
+
   out["solve_share_ms"] = round(
       out["full_step_ms"] - out["step_without_solve_ms"], 2)
   out["stats_share_ms"] = round(
