@@ -125,6 +125,17 @@ def _time_interleaved(runs, iters=LOOP_ITERS, rounds=4):
 
 
 def main():
+  # If the ambient TPU plugin's backend cannot initialize (tunnel outage),
+  # fall back to CPU rather than crashing: a same-harness CPU comparison
+  # still yields an honest vs_baseline (both sides run on the same
+  # backend), just slower to produce.
+  platform = None
+  try:
+    platform = jax.devices()[0].platform
+  except Exception:
+    jax.config.update("jax_platforms", "cpu")
+    platform = jax.devices()[0].platform
+
   rng = np.random.RandomState(0)
   params = _param_tree(rng)
   grads = jax.tree.map(
@@ -153,7 +164,12 @@ def main():
   except Exception:
     pass
 
-  best = _time_interleaved(runs)
+  # CPU fallback: fewer in-program iterations/rounds so the run finishes
+  # within the driver's budget (the relative comparison stays fair).
+  if platform == "cpu":
+    best = _time_interleaved(runs, iters=3, rounds=2)
+  else:
+    best = _time_interleaved(runs)
   ours_time = best["ours"]
   baseline_time = best.get("baseline")
 
@@ -167,6 +183,7 @@ def main():
       "unit": "ms",
       "vs_baseline": (round(baseline_time / ours_time, 3)
                       if baseline_time else None),
+      "platform": platform,
   }
   # Per-kernel roofline numbers: measuring them live adds ~15 min of XLA
   # compile through the TPU tunnel, so by default attach the recorded
