@@ -323,6 +323,11 @@ def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
     # The warm limit prev * M0^{-1/p} is symmetric only up to the
     # certified-small non-commutativity; symmetrise those members.
     root = jnp.where(warm_final > 0.5, 0.5 * (root + _transpose(root)), root)
+  elif ladder:
+    # Coarse-phase rounding breaks the exact-commutativity argument that
+    # keeps H symmetric; the SPD root is symmetric, so symmetrising only
+    # removes error components.
+    root = 0.5 * (root + _transpose(root))
 
   is_padding = (pads == 0)
   root = jnp.where(is_padding, 0.0, root * valid)
@@ -354,8 +359,8 @@ def batched_inverse_pth_root_pallas(
     retry_loop_error_threshold: float = 0.05,
     num_tries: int = 6,
     max_error_ratio: float = 1.2,
-    coarse_precision: Optional[lax.Precision] = lax.Precision.HIGH,
-    coarse_tolerance: float = 1e-3,
+    coarse_precision: Optional[lax.Precision] = lax.Precision.DEFAULT,
+    coarse_tolerance: float = 3e-2,
     interpret: bool = False,
 ) -> Tuple[Array, RootMetrics]:
   """Drop-in fused replacement for `pth_root.batched_inverse_pth_root`.
@@ -367,6 +372,13 @@ def batched_inverse_pth_root_pallas(
     padding_starts: ``[N]`` int32 valid sizes (defaults to m).
     prevs: optional ``[N, m, m]`` previous roots for certified warm
       starts (`reuse_preconditioner`).
+    coarse_precision: matmul tier for the mixed-precision ladder's first
+      phase (see `pth_root.matrix_inverse_pth_root`).  Mosaic lowers only
+      DEFAULT (single-pass bf16, ~6x the HIGHEST MXU rate) and HIGHEST —
+      `Precision.HIGH` is rejected at TPU compile time.  DEFAULT's
+      residual floor is ~1e-2, so `coarse_tolerance` sits at 3e-2;
+      quadratic convergence still reaches 1e-6 in ~3 polish iterations.
+      `None` disables the ladder.
     interpret: run the kernel in the Pallas interpreter (CPU CI).
 
   Returns:
@@ -376,6 +388,10 @@ def batched_inverse_pth_root_pallas(
   assert m == m2, stats.shape
   assert supported(m), f"matrix size {m} unsupported by the pallas kernel"
   assert isinstance(p, int) and p >= 1, p
+  # Mosaic's dot_general lowering accepts only these tiers; HIGH would
+  # fail at TPU compile time (jax/_src/pallas/mosaic/lowering.py).
+  assert coarse_precision in (
+      None, lax.Precision.DEFAULT, lax.Precision.HIGHEST), coarse_precision
   if padding_starts is None:
     padding_starts = jnp.full((n,), m, jnp.int32)
 

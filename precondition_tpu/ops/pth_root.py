@@ -494,10 +494,10 @@ def matrix_inverse_pth_root(
       error = jnp.max(jnp.abs(mat_m - identity)).astype(jnp.float32)
       converged = jnp.asarray(ratio < max_error_ratio, mat_h.dtype)
       root = converged * mat_h + (1 - converged) * old_h
-      if warm:
-        # The warm limit prev * M0^{-1/p} is only symmetric up to the
-        # (certified-small) non-commutativity; symmetrise so downstream
-        # contractions see an exactly symmetric preconditioner.
+      if warm or use_ladder:
+        # Warm limits and coarse-phase rounding are symmetric only up to
+        # small non-commutativity; the SPD root is symmetric, so
+        # symmetrising only removes error components.
         root = 0.5 * (root + root.T)
       return (i + 1, root, error, jnp.asarray(iters, jnp.float32),
               jnp.asarray(ratio, jnp.float32),
