@@ -143,11 +143,26 @@ def main():
 
   from precondition_tpu.optim import shampoo as ours
 
+  # Probe-compile the fused Pallas solver on a tiny batch before trusting
+  # it for the headline: a Mosaic lowering regression would otherwise
+  # fail the whole artifact, and the XLA path is a correct (slower)
+  # stand-in.
+  solver_backend = "auto"
+  if platform == "tpu":
+    try:
+      from precondition_tpu.ops.pallas import newton_root
+
+      probe = jnp.eye(128, dtype=jnp.float32)[None] * 2.0
+      jax.jit(lambda s: newton_root.batched_inverse_pth_root_pallas(
+          s, 4, jnp.full((1,), 128, jnp.int32)))(probe)[0].block_until_ready()
+    except Exception:
+      solver_backend = "xla"
+
   # Metrics off on both sides for an apples-to-apples comparison (the
   # reference side below also disables them).
   ours_tx = ours.distributed_shampoo(
       **HYPERS, graft_type=ours.GraftingType.RMSPROP,
-      generate_training_metrics=False)
+      generate_training_metrics=False, solver_backend=solver_backend)
   runs = {"ours": (ours_tx, params, grads)}
 
   try:
