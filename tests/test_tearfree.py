@@ -405,3 +405,36 @@ class TestSmokeDistributed:
     p1, p2 = run(), run()
     chex.assert_tree_all_finite(p1)
     chex.assert_trees_all_close(p1, p2, rtol=0, atol=0)
+
+
+class TestInitPartitionSpec:
+  """The full tearfree chain must satisfy `init_partition_spec` even when
+  chain members are plain optax transforms (the lr stage) — the reference
+  raises there instead (`/root/reference/precondition/tearfree/
+  praxis_shim.py`), breaking trainer-side sharded state construction."""
+
+  def test_full_chain_spec_matches_state_structure(self):
+    from precondition_tpu.tearfree import praxis_shim
+
+    params = {"w": jnp.zeros((8, 4)), "b": jnp.zeros((3,))}
+    tx = optimizer.tearfree(0.1, optimizer.TearfreeOptions())
+    state = tx.init(params)
+    specs = tx.init_partition_spec(params)
+
+    def count(tree, pred):
+      return sum(1 for l in jax.tree.leaves(
+          tree, is_leaf=lambda x: pred(x) or isinstance(
+              x, praxis_shim.WeightHParams)) if pred(l))
+
+    n_arrays = count(state, lambda l: hasattr(l, "shape") and
+                     getattr(l, "ndim", -1) >= 0)
+    n_hparams = count(specs, lambda l: isinstance(
+        l, praxis_shim.WeightHParams))
+    assert n_hparams == n_arrays, (n_hparams, n_arrays)
+
+  def test_schedule_lr_stage_also_works(self):
+    tx = optimizer.tearfree(
+        lambda step: 0.1 / (1.0 + step), optimizer.TearfreeOptions())
+    params = {"w": jnp.zeros((8, 4))}
+    specs = tx.init_partition_spec(params)
+    assert specs is not None
