@@ -593,6 +593,9 @@ def matrix_inverse_pth_root_eigh(
   exact zeros (from padding) map to zero, and the root is formed as
   ``R R^T`` with ``R = U sqrt(e^{-1/p})`` so it is symmetric by construction.
   The reported error is the max residual of ``U^T (A + eps I) U - diag(e)``.
+
+  ``prev`` is accepted for signature parity with the Newton path and
+  ignored: a direct factorization has no iteration to warm-start.
   """
   del prev
   assert matrix.shape[-1] == matrix.shape[-2]
