@@ -191,6 +191,33 @@ class Preconditioner:
     to_float = to_float or (lambda x: x)
     from_float = from_float or (lambda x: x)
     reshaped = jnp.reshape(grad, self._transformed_shape)
+
+    uniform = self._partitioner.uniform_block_shape()
+    if uniform is not None and not frequent_directions:
+      # Uniform blocks: blockify with one reshape-transpose (3 HLO ops)
+      # and run one batched gram per axis over ALL blocks — the grouped
+      # split/stack path below emits O(num_blocks) slice/concat ops,
+      # which dominates program size (and tunnel compile time) on
+      # block-heavy trees.
+      gs_all = self._partitioner.partition_stacked(reshaped)
+      nb = gs_all.shape[0]
+      n_on = sum(self._precond_dims)
+      new_stats = [None] * len(stats)
+      slot = 0
+      for axis, on in enumerate(self._precond_dims):
+        if not on:
+          continue
+        flat = jnp.reshape(jnp.moveaxis(gs_all, axis + 1, 1),
+                           (nb, uniform[axis], -1))
+        grams = jnp.einsum("bif,bjf->bij", flat, flat, precision=precision)
+        olds = jnp.stack(
+            [to_float(stats[b * n_on + slot]) for b in range(nb)])
+        news = w1 * olds + w2 * grams
+        for b in range(nb):
+          new_stats[b * n_on + slot] = from_float(news[b])
+        slot += 1
+      return new_stats
+
     blocks = self._partitioner.partition(reshaped)
 
     # Group the (block, axis) gram updates by (block shape, axis) and run
@@ -243,9 +270,28 @@ class Preconditioner:
     low-rank/FD preconditioners keep the per-block path.
     """
     reshaped = jnp.reshape(grad, self._transformed_shape)
-    blocks = self._partitioner.partition(reshaped)
     n_per_block = sum(self._precond_dims)
     any_packed = any(p.shape[0] != p.shape[1] for p in preconditioners)
+
+    uniform = self._partitioner.uniform_block_shape()
+    if uniform is not None and not any_packed:
+      # Uniform-block fast path: same batched axis-cycling contraction as
+      # the grouped path below, minus its O(num_blocks) split/stack HLO.
+      g = self._partitioner.partition_stacked(reshaped)
+      nb = g.shape[0]
+      slot = 0
+      for on in self._precond_dims:
+        if not on:
+          g = jnp.moveaxis(g, 1, -1)
+          continue
+        pres = jnp.stack(
+            [preconditioners[b * n_per_block + slot] for b in range(nb)])
+        g = jnp.einsum("bi...,bij->b...j", g, pres)
+        slot += 1
+      merged = self._partitioner.merge_stacked(g)
+      return jnp.reshape(merged, self._original_shape)
+
+    blocks = self._partitioner.partition(reshaped)
 
     out_blocks: List[Optional[Array]] = [None] * len(blocks)
     groups: dict = {}

@@ -1,6 +1,7 @@
 """Shape-engine tests: dim merging, block partitioning, padding."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from precondition_tpu.utils import shapes
@@ -104,3 +105,26 @@ class TestQuantization:
       theirs = ref.QuantizedValue.from_float_value(x, dtype)
       np.testing.assert_array_equal(
           np.asarray(ours.to_float()), np.asarray(theirs.to_float()))
+
+
+class TestStackedPartition:
+  """Reshape-transpose blockify must agree with the split path exactly."""
+
+  @pytest.mark.parametrize("shape,bs", [
+      ((8, 8), 4), ((16, 4), 4), ((4,), 2), ((8, 4, 8), 4), ((6, 6), 3),
+  ])
+  def test_matches_partition_and_roundtrips(self, shape, bs):
+    part = shapes.BlockPartitioner(shape, bs)
+    assert part.uniform_block_shape() is not None
+    x = jnp.arange(np.prod(shape), dtype=jnp.float32).reshape(shape)
+    stacked = part.partition_stacked(x)
+    listed = part.partition(x)
+    assert stacked.shape[0] == len(listed)
+    for i, blk in enumerate(listed):
+      np.testing.assert_array_equal(np.asarray(stacked[i]), np.asarray(blk))
+    np.testing.assert_array_equal(np.asarray(part.merge_stacked(stacked)),
+                                  np.asarray(x))
+
+  def test_ragged_reports_none(self):
+    part = shapes.BlockPartitioner((10, 4), 4)  # 10 -> 4,4,2 ragged
+    assert part.uniform_block_shape() is None
