@@ -39,6 +39,11 @@ COMMON = dict(learning_rate=0.1, block_size=8, beta1=0.9, beta2=0.999,
               matrix_epsilon=1e-6, start_preconditioning_step=2)
 
 
+def ref_ptype(name):
+  from precondition import distributed_shampoo as ref
+  return ref.PreconditionerType[name]
+
+
 class TestShampoo:
 
   def test_finite_after_steps(self):
@@ -127,6 +132,122 @@ class TestShampoo:
   ])
   def test_matches_upstream_options(self, kwargs):
     self._compare_with_upstream(kwargs, kwargs)
+
+  @requires_reference
+  def test_matches_upstream_one_sided_output(self):
+    # merge_small_dims_block_size=8 keeps the fixture's 2-D params 2-D;
+    # at the 4096 default they merge to rank 1, where one-sided modes
+    # are (correctly, on both sides) ignored and the test proves nothing.
+    self._compare_with_upstream(
+        dict(precondtioner_type=shampoo.PreconditionerType.OUTPUT,
+             merge_small_dims_block_size=8),
+        dict(precondtioner_type=ref_ptype("OUTPUT"),
+             merge_small_dims_block_size=8))
+
+  @requires_reference
+  @pytest.mark.parametrize("ptype", ["ALL", "INPUT", "OUTPUT"])
+  def test_matches_upstream_one_sided_blocked(self, ptype):
+    """One-sided preconditioning across a multi-block (uniform) parameter:
+    exercises the stacked fast path's axis-cycling contraction, which the
+    small unblocked fixture never reaches.  INPUT parity is possible here
+    only because every param stays rank >= 2 unmerged — the reference's
+    INPUT path crashes on any rank-1 (merged or vector) param, see
+    `test_upstream_full_input_mode_is_broken`."""
+    from precondition import distributed_shampoo as ref
+
+    rng = np.random.RandomState(3)
+    params = {"w": jnp.asarray(rng.randn(8, 4) * 0.5, jnp.float32)}
+    grads = [jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, jnp.float32),
+        params) for _ in range(6)]
+    kw = {**COMMON, "block_size": 2, "merge_small_dims_block_size": 8}
+    ours_tx = shampoo.distributed_shampoo(
+        **kw, precondtioner_type=shampoo.PreconditionerType[ptype])
+    ref_tx = ref.distributed_shampoo(
+        **kw, precondtioner_type=ref_ptype(ptype),
+        generate_training_metrics=False)
+    ours_state, ref_state = ours_tx.init(params), ref_tx.init(params)
+    ours_params, ref_params = params, params
+    for step, g in enumerate(grads):
+      ours_up, ours_state = ours_tx.update(g, ours_state, ours_params)
+      ref_up, ref_state = ref_tx.update(g, ref_state, ref_params)
+      chex.assert_trees_all_close(
+          ours_up, ref_up, rtol=2e-4, atol=1e-5,
+          custom_message=f"step {step} ptype {ptype}")
+      ours_params = jax.tree.map(lambda p, u: p + u, ours_params, ours_up)
+      ref_params = jax.tree.map(lambda p, u: p + u, ref_params, ref_up)
+
+  @requires_reference
+  @pytest.mark.parametrize("ptype", ["INPUT", "OUTPUT"])
+  @pytest.mark.parametrize("shape,bs", [((4, 3), 8), ((8, 4), 2),
+                                        ((2, 3, 4), 8)])
+  def test_one_sided_unit_parity(self, ptype, shape, bs):
+    """Statistics + preconditioning parity with the reference's standalone
+    `Preconditioner` for one-sided modes (blocked and unblocked).  The
+    full-optimizer INPUT comparison is impossible upstream (see below),
+    so the unit level is where INPUT semantics are pinned."""
+    from precondition import distributed_shampoo as ref
+
+    rng = np.random.RandomState(11)
+    param = jnp.asarray(rng.randn(*shape), jnp.float32)
+    g = jnp.asarray(rng.randn(*shape) * 0.1, jnp.float32)
+    ours = shampoo.Preconditioner(
+        param, bs, 8, True, shampoo.PreconditionerType[ptype])
+    theirs = ref.Preconditioner(param, bs, 8, True, ref_ptype(ptype))
+    assert (ours.shapes_for_preconditioners()
+            == [list(map(int, s))
+                for s in theirs.shapes_for_preconditioners()])
+    assert (ours.exponent_for_preconditioner()
+            == theirs.exponent_for_preconditioner())
+    stats0 = [jnp.eye(int(s[0])) * 1e-6
+              for s in ours.shapes_for_preconditioners()]
+    ours_stats = ours.updated_statistics_from_grad(stats0, g, 0.9, 0.1)
+    ref_stats = theirs.updated_statistics_from_grad(stats0, g, 0.9, 0.1)
+    chex.assert_trees_all_close(ours_stats, ref_stats, rtol=1e-6, atol=1e-7)
+    pres = [jnp.asarray(
+        np.linalg.inv(np.asarray(s) + 1e-4 * np.eye(s.shape[0])),
+        jnp.float32) for s in ours_stats]
+    ours_pg = ours.preconditioned_grad(g, pres)
+    ref_pg = theirs.preconditioned_grad(g, pres)
+    chex.assert_trees_all_close(ours_pg, ref_pg, rtol=1e-5, atol=1e-6)
+
+  @requires_reference
+  def test_upstream_full_input_mode_is_broken(self):
+    """Tripwire: the reference's full optimizer crashes in INPUT mode
+    (`_preconds_for_grad` assert, `distributed_shampoo.py:1621` — its
+    per-param preconditioner packing mishandles one-sided counts; the
+    mode has zero upstream tests).  Our INPUT mode works (unit parity
+    above + trajectory sanity below); if upstream ever fixes theirs,
+    this test fails and the full-trajectory comparison should be added."""
+    from precondition import distributed_shampoo as ref
+
+    params = {"w": jnp.zeros((4, 3), jnp.float32)}
+    g = {"w": jnp.full((4, 3), 0.1, jnp.float32)}
+    tx = ref.distributed_shampoo(
+        **COMMON, precondtioner_type=ref_ptype("INPUT"),
+        generate_training_metrics=False)
+    state = tx.init(params)
+    with pytest.raises(AssertionError):
+      tx.update(g, state, params)
+
+  def test_input_mode_trajectory_sane(self):
+    """Our INPUT mode end-to-end: finite, converging, and actually
+    one-sided (output-axis statistics never allocated)."""
+    rng = np.random.RandomState(5)
+    params = {"w": jnp.asarray(rng.randn(8, 4) * 0.5, jnp.float32)}
+    tx = shampoo.distributed_shampoo(
+        **{**COMMON, "block_size": 2, "merge_small_dims_block_size": 8},
+        precondtioner_type=shampoo.PreconditionerType.INPUT)
+    state = tx.init(params)
+    # 8x4 at block 2 -> 8 blocks, ONE [2,2] statistic each (input side).
+    assert len(state.stats["w"].statistics) == 8
+    p = params
+    for i in range(6):
+      g = jax.tree.map(
+          lambda x: jnp.asarray(rng.randn(*x.shape) * 0.1, jnp.float32), p)
+      up, state = tx.update(g, state, p)
+      p = jax.tree.map(lambda a, b: a + b, p, up)
+    chex.assert_tree_all_finite(p)
 
   @requires_reference
   def test_matches_upstream_reuse_preconditioner(self):
