@@ -148,10 +148,15 @@ def measure(n=712, m=128, p=4):
   pallas = lambda s, w: newton_root.batched_inverse_pth_root_pallas(
       s, p, pads, prevs=w)
 
+  pallas_single = lambda s, w: newton_root.batched_inverse_pth_root_pallas(
+      s, p, pads, prevs=w, coarse_precision=None)
+
   roots = record("xla_cold", xla, stats)
   record("xla_warm", xla, drifted, warm_with=roots, k=8)
   pl_roots = record("pallas_cold", pallas, stats)
   record("pallas_warm", pallas, drifted, warm_with=pl_roots, k=8)
+  # Ladder ablation: same kernel, single-phase HIGHEST iteration.
+  record("pallas_cold_single", pallas_single, stats)
   out["pallas_vs_xla_cold"] = round(out["xla_cold_ms"]
                                     / out["pallas_cold_ms"], 2)
   out["pallas_vs_xla_warm"] = round(out["xla_warm_ms"]
