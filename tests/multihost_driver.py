@@ -81,6 +81,26 @@ def main():
   assert np.isfinite(loss_host), loss_host
   print(f"MULTIHOST OK {proc_id} {loss_host:.6f}", flush=True)
 
+  # Phase 2: ZeRO-style optimizer-state sharding across the two hosts.
+  # The InitFnState contract: state built inside jit with the global
+  # [N, m, m] statistics sharded over the whole mesh.
+  ztx = shampoo.distributed_shampoo(
+      learning_rate=0.01, block_size=16, start_preconditioning_step=0,
+      graft_type=shampoo.GraftingType.RMSPROP,
+      shard_optimizer_states=True, num_devices_for_pjit=8,
+      statistics_partition_spec=NamedSharding(mesh, P(("data", "model"))),
+      preconditioner_partition_spec=NamedSharding(mesh, P(("data", "model"))))
+  init_fns = ztx.init(jax.tree.map(np.zeros_like, host_params))
+  zstate = jax.jit(init_fns.init_fn)(params)
+  grads = jax.jit(jax.grad(lambda p, b: loss(p, b)))(params, batch)
+  zupdates, zstate = jax.jit(ztx.update)(grads, zstate, params)
+  znorm = float(np.asarray(
+      jax.jit(lambda t: sum(jnp.sum(x * x) for x in jax.tree.leaves(t)),
+              out_shardings=NamedSharding(mesh, P()))(
+                  zupdates).addressable_data(0)))
+  assert np.isfinite(znorm), znorm
+  print(f"MULTIHOST ZERO OK {proc_id} {znorm:.6f}", flush=True)
+
 
 if __name__ == "__main__":
   main()

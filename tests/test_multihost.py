@@ -47,10 +47,15 @@ def test_two_process_sharded_step():
         p.kill()
   for i, (p, out) in enumerate(zip(procs, outs)):
     assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
-  losses = []
+  losses, znorms = [], []
   for out in outs:
     line = [l for l in out.splitlines() if l.startswith("MULTIHOST OK")]
     assert line, out[-2000:]
     losses.append(float(line[0].split()[-1]))
-  # Both hosts must observe the same global loss.
+    zline = [l for l in out.splitlines()
+             if l.startswith("MULTIHOST ZERO OK")]
+    assert zline, out[-2000:]
+    znorms.append(float(zline[0].split()[-1]))
+  # Both hosts must observe the same global loss / update norm.
   assert losses[0] == pytest.approx(losses[1], rel=1e-6), losses
+  assert znorms[0] == pytest.approx(znorms[1], rel=1e-6), znorms
