@@ -363,9 +363,15 @@ def matrix_inverse_pth_root(
       max_ev = jnp.max(eigvals)
     else:
       with jax.named_scope("PowerIteration"):
+        # Warm re-solves converge in 1-2 Newton iterations, so the
+        # eigenvalue estimate (which only scales the ridge) dominates
+        # their cost; a relative exit cuts the ~100 sequential matvecs
+        # without moving the ridge beyond solver tolerance.  Cold solves
+        # keep the reference's absolute exit for trajectory parity.
         _, max_ev = power_iteration(
             matrix, num_iters=100, error_tolerance=1e-6,
-            precision=precision, padding_start=padding_start)
+            precision=precision, padding_start=padding_start,
+            relative_tolerance=warm)
   else:
     max_ev = jnp.asarray(1.0, work)
   ridge = ridge_epsilon * jnp.maximum(max_ev, _EPSILON)
