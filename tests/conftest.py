@@ -15,6 +15,11 @@ import sys
 # jax.config after import.  Order matters: env first, import jax, then
 # config.update — empirically this yields the 8 virtual CPU devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep the persistent compile cache OUT of the test process: importing
+# `bench` would otherwise enable it suite-wide, and entries written by a
+# crashed run (observed: LLVM OOM during the CPU-fallback bench) can
+# segfault XLA's AOT loader on reload.
+os.environ["BENCH_NO_COMPILE_CACHE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
   os.environ["XLA_FLAGS"] = (
