@@ -19,6 +19,11 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 def _run(script, extra_env=None, timeout=600):
   env = dict(os.environ)
   env["EXAMPLES_CPU"] = "1"
+  # Examples import precondition_tpu; make the repo root importable even when
+  # the package is not pip-installed in the environment running the tests.
+  repo_root = str(EXAMPLES.parent)
+  env["PYTHONPATH"] = os.pathsep.join(
+      p for p in (repo_root, env.get("PYTHONPATH")) if p)
   env.update(extra_env or {})
   proc = subprocess.run(
       [sys.executable, str(EXAMPLES / script)],
