@@ -29,6 +29,11 @@ def test_two_process_sharded_step():
   port = _free_port()
   env = {k: v for k, v in os.environ.items()
          if k not in ("XLA_FLAGS",)}  # driver sets its own device count
+  # The driver imports precondition_tpu; put the repo root on PYTHONPATH
+  # without dropping entries the environment needs (e.g. backend plugins).
+  repo_root = str(DRIVER.parent.parent)
+  env["PYTHONPATH"] = os.pathsep.join(
+      [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
   procs = [
       subprocess.Popen(
           [sys.executable, str(DRIVER), str(i), str(port)],
