@@ -20,12 +20,18 @@ fixture solves every step (reference hot loops: gram update
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Allow `python benchmarks/kernel_breakdown.py` without PYTHONPATH games:
+# the interpreter puts benchmarks/ (the script dir) on sys.path, not the
+# repo root that holds the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from precondition_tpu.ops import pth_root
 from precondition_tpu.ops.pallas import newton_root

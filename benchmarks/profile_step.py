@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Allow `python benchmarks/profile_step.py` without PYTHONPATH games: the
+# interpreter puts benchmarks/ (the script dir) on sys.path, not the repo
+# root that holds the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if not os.environ.get("BENCH_NO_COMPILE_CACHE"):
   os.makedirs("/root/repo/.jax_cache", exist_ok=True)
   jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

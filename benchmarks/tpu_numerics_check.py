@@ -12,6 +12,7 @@ Exit code 0 = all checks pass.  Prints one summary JSON line.
 """
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -19,6 +20,10 @@ import scipy.stats
 
 import jax
 import jax.numpy as jnp
+
+# Script-dir sys.path fixup: make `python benchmarks/tpu_numerics_check.py`
+# find the package at the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from precondition_tpu.ops import pth_root
 from precondition_tpu.ops.pallas import newton_root
