@@ -20,7 +20,10 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/reference")
+# Repo root first (the interpreter puts tests/ on sys.path, not the root
+# that holds the package), then the mounted reference.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(1, "/root/reference")
 sys.dont_write_bytecode = True
 
 from precondition_tpu.oco import algorithms
