@@ -658,13 +658,20 @@ def distributed_shampoo(
     return jax.vmap(
         lambda s, p, d: solve_one(s, p, padding_start=d))(stacked, exps, pads)
 
-  def _distributed_solve(stacked, exps, pads, prevs=None):
+  def _distributed_solve(stacked, exps, pads, prevs=None, solve_fn=None):
     """Shard the stacked solve across devices, then regather.
 
     TPU mapping: each device solves an equal slice of the Newton batches;
     results ride one all-gather over ICI (`distributed_shampoo.py:2867-2892`
     is the behavioural model; here it also works under shard_map).
+
+    ``solve_fn(stacked, exps, pads, prevs)`` defaults to the full-matrix
+    Newton batch; the compressed groups pass their vmapped low-rank/FD
+    eigensolvers so *every* solver mode distributes — matching the
+    reference's everything-round-robined pmap semantics
+    (`distributed_shampoo.py:2732-2744,2862-2892`).
     """
+    solve_fn = solve_fn or _solve_batched
     n = stacked.shape[0]
     if batch_axis_name:
       num_devices = lax.psum(1, batch_axis_name)
@@ -673,7 +680,7 @@ def distributed_shampoo(
       me = lax.axis_index(batch_axis_name)
       sl = lambda x: lax.dynamic_slice_in_dim(x, me * per, per)
       exps_slice = exps if isinstance(exps, int) else sl(exps)
-      roots, metrics = _solve_batched(
+      roots, metrics = solve_fn(
           sl(stacked), exps_slice, sl(pads),
           None if prevs is None else sl(prevs))
       roots = jnp.reshape(lax.all_gather(roots, batch_axis_name),
@@ -710,7 +717,7 @@ def distributed_shampoo(
             else:
               st, ex, pd = args[:3]
               pv = args[3] if prevs is not None else None
-            roots_l, metrics_l = _solve_batched(st, ex, pd, pv)
+            roots_l, metrics_l = solve_fn(st, ex, pd, pv)
             gather = lambda x: lax.all_gather(x, axes, axis=0, tiled=True)
             return gather(roots_l), jax.tree.map(gather, metrics_l)
 
@@ -743,12 +750,12 @@ def distributed_shampoo(
       pads = lax.with_sharding_constraint(pads, lead_spec)
       if prevs is not None:
         prevs = lax.with_sharding_constraint(prevs, solve_spec)
-      roots, metrics = _solve_batched(stacked, exps, pads, prevs)
+      roots, metrics = solve_fn(stacked, exps, pads, prevs)
       roots = lax.with_sharding_constraint(roots, solve_spec)
       roots = lax.with_sharding_constraint(roots, statistics_partition_spec)
       metrics = lax.with_sharding_constraint(metrics, repl_spec)
       return roots, metrics
-    return _solve_batched(stacked, exps, pads, prevs)
+    return solve_fn(stacked, exps, pads, prevs)
 
   def _update_preconditioners(states, params, step):
     """Solve inverse roots for every statistic across all params at once."""
@@ -821,27 +828,52 @@ def distributed_shampoo(
           roots, metrics = _distributed_solve(
               jnp.stack(grp), exp, grp_pads, grp_prevs)
         elif mode == "lowrank":
-          stacked = jnp.stack([padded[i] for i in idxs])
-          roots, metrics = jax.vmap(
-              lambda m, d: lowrank.low_rank_root(
-                  m, exp, compression_rank,
-                  ridge_epsilon=matrix_epsilon,
-                  relative_matrix_epsilon=relative_matrix_epsilon,
-                  padding_start=d))(stacked, grp_pads)
+          # Compressed groups distribute like full ones: solver-pad the
+          # batch to the shard count (pure-padding entries zero out inside
+          # `low_rank_root`), shard the leading axis, all-gather results.
+          to_pad = (-len(idxs)) % num_shards
+          stacked = jnp.stack(
+              [padded[i] for i in idxs]
+              + [jnp.eye(max_size, dtype=padded[idxs[0]].dtype)] * to_pad)
+          grp_pads = jnp.asarray(
+              [sizes[i] for i in idxs] + [0] * to_pad, jnp.int32)
+
+          def _lowrank_solve(st, ex, pd_, pv, exp=exp):
+            del pv, ex
+            return jax.vmap(
+                lambda m, d: lowrank.low_rank_root(
+                    m, exp, compression_rank,
+                    ridge_epsilon=matrix_epsilon,
+                    relative_matrix_epsilon=relative_matrix_epsilon,
+                    padding_start=d))(st, pd_)
+
+          roots, metrics = _distributed_solve(
+              stacked, exp, grp_pads, solve_fn=_lowrank_solve)
         else:  # fd: statistics are Cholesky factors, prev is required.
-          stacked = jnp.stack([padded[i] for i in idxs])
-          prevs = jnp.stack([_pad_packed(prev_pre[i]) for i in idxs])
+          to_pad = (-len(idxs)) % num_shards
+          dt = padded[idxs[0]].dtype
+          stacked = jnp.stack([padded[i] for i in idxs]
+                              + [jnp.zeros((max_size, max_size), dt)] * to_pad)
+          prevs = jnp.stack([_pad_packed(prev_pre[i]) for i in idxs]
+                            + [jnp.zeros((max_size, pd), dt)] * to_pad)
+          grp_pads = jnp.asarray(
+              [sizes[i] for i in idxs] + [0] * to_pad, jnp.int32)
           if reset_frequency is not None:
             prevs = jnp.where(step % reset_frequency == 0, 0.0, 1.0) * prevs
-          roots, metrics = jax.vmap(
-              lambda g, pv, d: lowrank.fd_update_root(
-                  g, exp, abs(compression_rank),
-                  ridge_epsilon=matrix_epsilon,
-                  relative_matrix_epsilon=relative_matrix_epsilon,
-                  decay=beta2, padding_start=d,
-                  prev=pv,
-                  generate_fd_metrics=generate_fd_metrics))(
-                      stacked, prevs, grp_pads)
+
+          def _fd_solve(st, ex, pd_, pv, exp=exp):
+            del ex
+            return jax.vmap(
+                lambda g, w, d: lowrank.fd_update_root(
+                    g, exp, abs(compression_rank),
+                    ridge_epsilon=matrix_epsilon,
+                    relative_matrix_epsilon=relative_matrix_epsilon,
+                    decay=beta2, padding_start=d,
+                    prev=w,
+                    generate_fd_metrics=generate_fd_metrics))(st, pv, pd_)
+
+          roots, metrics = _distributed_solve(
+              stacked, exp, grp_pads, prevs, solve_fn=_fd_solve)
         for j, i in enumerate(idxs):
           roots_out[i] = roots[j]
         # Solver-padding entries (full groups only) sit past len(idxs).

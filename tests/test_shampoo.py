@@ -590,6 +590,87 @@ class TestMultiDevice:
           jax.tree.map(lambda x: x[0], m_up), s_updates[step],
           rtol=2e-4, atol=1e-6, custom_message=f"step {step}")
 
+  @pytest.mark.parametrize("fd", [False, True])
+  def test_pmap_compressed_round_robin_matches_single(self, fd):
+    """Low-rank/FD groups must distribute like full ones: the pmapped
+    trajectory (each replica solving its slice of the compressed batch,
+    all-gathering results) must match the single-device run.  Reference
+    semantics: everything round-robins, `distributed_shampoo.py:2732-2744,
+    2862-2892`."""
+    n_dev = jax.local_device_count()
+    assert n_dev >= 2
+
+    rng = np.random.RandomState(3)
+    params = {"w": jnp.asarray(rng.randn(64, 64) * 0.3, jnp.float32)}
+    grads = [jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, jnp.float32),
+        params) for _ in range(4)]
+    kw = dict(learning_rate=0.1, block_size=32, start_preconditioning_step=0,
+              compression_rank=4, frequent_directions=fd,
+              graft_type=shampoo.GraftingType.RMSPROP)
+    single_tx = shampoo.distributed_shampoo(**kw)
+    multi_tx = shampoo.distributed_shampoo(**kw, batch_axis_name="batch")
+
+    s_state = single_tx.init(params)
+    s_updates = []
+    for g in grads:
+      u, s_state = jax.jit(single_tx.update)(g, s_state, params)
+      s_updates.append(u)
+
+    rep = lambda tree: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), tree)
+    m_state = jax.pmap(multi_tx.init, axis_name="batch")(rep(params))
+    p_update = jax.pmap(multi_tx.update, axis_name="batch")
+    for step, g in enumerate(grads):
+      m_up, m_state = p_update(rep(g), m_state, rep(params))
+      chex.assert_trees_all_close(
+          jax.tree.map(lambda x: x[0], m_up), s_updates[step],
+          rtol=2e-4, atol=1e-6, custom_message=f"step {step} fd={fd}")
+
+  @pytest.mark.parametrize("fd", [False, True])
+  def test_compressed_solve_work_scales_inverse_n(self, fd):
+    """Per-device solve work for compressed (low-rank/FD) groups must
+    scale ~1/N across the shard_map mesh.
+
+    Asserted structurally on the per-device compiled HLO rather than
+    `cost_analysis()["flops"]`: on CPU the eigensolves lower to LAPACK
+    custom calls whose FLOPs the cost model does not count, but the
+    batched decomposition's leading dimension IS each device's share of
+    the solve batch.  The fixture's 64x64 param merges to [4096] and
+    blocks into 128 [32,32] statistics, so the per-device eigh (lowrank)
+    / SVD (fd) batch must be exactly 128/k."""
+    import re
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(4)
+    params = {"w": jnp.asarray(rng.randn(64, 64) * 0.3, jnp.float32)}
+    grad = jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, jnp.float32),
+        params)
+    target = "lapack_sgesdd" if fd else "lapack_ssyevd"
+
+    def _solve_batch_dim(txt):
+      dims = []
+      for line in txt.splitlines():
+        if "custom-call" in line and target in line:
+          m = re.search(r"f32\[(\d+),32,\d+\]", line)
+          if m:
+            dims.append(int(m.group(1)))
+      assert dims, f"no batched {target} decomposition in the HLO"
+      return max(dims)
+
+    for k in (1, 2, 8):
+      mesh = Mesh(np.asarray(jax.devices()[:k]).reshape(k), ("d",))
+      sh = NamedSharding(mesh, P("d"))
+      tx = shampoo.distributed_shampoo(
+          learning_rate=0.1, block_size=32, start_preconditioning_step=0,
+          compression_rank=4, frequent_directions=fd,
+          statistics_partition_spec=sh, preconditioner_partition_spec=sh,
+          graft_type=shampoo.GraftingType.RMSPROP)
+      state = tx.init(params)
+      txt = jax.jit(tx.update).lower(grad, state, params).compile().as_text()
+      assert _solve_batch_dim(txt) == 128 // k, (k, fd)
+
   @pytest.mark.parametrize("pad_devices", [8, None])
   def test_sharded_solve_no_full_rematerialization(self, capfd, pad_devices):
     """The shard_map solve must compile without SPMD falling back to
