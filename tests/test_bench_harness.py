@@ -2,8 +2,8 @@
 
 bench.py's full fixture is TPU-scale; these tests exercise the timing
 machinery itself on a tiny problem so harness regressions (fence
-semantics, loop program, interleave bookkeeping) fail in CI rather than
-in the driver's end-of-round TPU run.
+semantics, loop program, interleave bookkeeping, deadline truncation)
+fail in CI rather than in the driver's end-of-round TPU run.
 """
 
 from __future__ import annotations
@@ -28,13 +28,20 @@ def _tiny():
 
 class TestBenchHarness:
 
-  def test_time_interleaved_returns_positive_per_step(self):
+  def test_measure_pair_returns_positive_per_step(self):
     tx, params, grads = _tiny()
-    best = bench._time_interleaved({"a": (tx, params, grads),
-                                    "b": (tx, params, grads)}, rounds=2)
+    cands = [bench._Candidate("a", tx, params, grads, settle_steps=2),
+             bench._Candidate("b", tx, params, grads, settle_steps=2)]
+    recorded = []
+    best = bench._measure_pair(cands, iters=3, rounds=2,
+                               record=lambda b: recorded.append(dict(b)))
     assert set(best) == {"a", "b"}
     for v in best.values():
       assert 0 < v < 60
+    # record() must fire after every round so a deadline cut still emits
+    # the best-known numbers.
+    assert len(recorded) >= 1
+    assert set(recorded[0]) == {"a", "b"}
 
   def test_steps_program_advances_count(self):
     tx, params, grads = _tiny()
@@ -42,10 +49,26 @@ class TestBenchHarness:
     state = run(tx.init(params), 5, grads, params)
     assert int(state.count) == 5
 
+  def test_candidate_sample_reuses_compiled_program(self):
+    # k is a traced argument: every window size must reuse one executable.
+    tx, params, grads = _tiny()
+    cand = bench._Candidate("a", tx, params, grads, settle_steps=2)
+    s1 = cand.sample(3)
+    s2 = cand.sample(5)
+    assert s1 > 0 and s2 > 0
+
   def test_fence_completes_on_pytree(self):
     tx, params, grads = _tiny()
     state = tx.init(params)
     bench._fence(state)  # must not raise on nested state pytrees
+
+  def test_guarded_passes_through_results_and_errors(self):
+    assert bench._guarded("ok", lambda: 42) == 42
+    try:
+      bench._guarded("boom", lambda: 1 / 0)
+      raise AssertionError("expected ZeroDivisionError")
+    except ZeroDivisionError:
+      pass
 
   def test_param_tree_shape_is_stable(self):
     # The recorded metric's fixture: keep it byte-identical across rounds
