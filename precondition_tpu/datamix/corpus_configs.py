@@ -145,7 +145,20 @@ def build_from_records(
     name: str, records: Sequence[dict], tokenizer, max_seq_len: int,
     pad_id: int = 0, vocab_size: Optional[int] = None,
 ) -> dataset_builder.TextDatasetBuilder:
-  """A corpus's `TextDatasetBuilder` from already-loaded raw records."""
+  """A corpus's `TextDatasetBuilder` from already-loaded raw records.
+
+  ``tokenizer`` is either a callable ``str -> List[int]`` or a string
+  spec resolved through `tokenizers.make_tokenizer` (``"char"``,
+  ``"unigram:<path>"``, ``"spm:<path>"`` — the latter two give the
+  subword paths mirroring the reference's SentencePiece Gemma tokenizer,
+  `datamix_gemma/tokenizers/gemma_tokenizer.py`).
+  """
+  if isinstance(tokenizer, str):
+    from precondition_tpu.datamix import tokenizers
+
+    tokenizer = tokenizers.make_tokenizer(tokenizer, vocab_size or 128)
+    if vocab_size is None and hasattr(tokenizer, "vocab_size"):
+      vocab_size = tokenizer.vocab_size
   cfg = REGISTRY[name]
   pairs = [cfg.record_to_pair(r) for r in records]
   return dataset_builder.TextDatasetBuilder(
