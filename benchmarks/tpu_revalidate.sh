@@ -26,6 +26,14 @@ echo "== 2. kernel rooflines -> KERNELS_TPU.json =="
 timeout 2400 python benchmarks/kernel_breakdown.py \
     2>&1 | tee "$OUT/kernels.log"
 
+echo "== 2b. regression tripwire vs committed KERNELS_TPU.json =="
+python benchmarks/check_regression.py 2>&1 | tee "$OUT/regression.log"
+REG_RC=${PIPESTATUS[0]}
+if [ "$REG_RC" = 1 ]; then
+  echo "KERNEL REGRESSION — fix before re-measuring/committing." \
+       "Continuing to collect data for diagnosis."
+fi
+
 echo "== 3. step-phase breakdown -> STEP_BREAKDOWN_TPU.json =="
 timeout 3600 python benchmarks/profile_step.py \
     2>&1 | tee "$OUT/profile.log"

@@ -78,3 +78,29 @@ class TestBenchHarness:
             for p in jax.tree.leaves(bench._param_tree(
                 np.random.RandomState(0))))
     assert n == 58_724_352
+
+
+class TestKernelRegressionTripwire:
+  """benchmarks/check_regression.py: the perf tripwire's compare logic."""
+
+  def test_within_tolerance_passes(self):
+    from benchmarks import check_regression as cr
+    committed = {"xla_cold_ms": 10.0, "pallas_cold_ms": 8.0}
+    fresh = {"xla_cold_ms": 11.5, "pallas_cold_ms": 9.0,
+             "pallas_cold_err_max": 1e-6}
+    assert cr.compare(fresh, committed, tolerance=1.3) == []
+
+  def test_slowdown_and_error_flagged(self):
+    from benchmarks import check_regression as cr
+    committed = {"xla_cold_ms": 10.0}
+    fresh = {"xla_cold_ms": 14.0, "pallas_cold_err_max": 1e-2}
+    problems = cr.compare(fresh, committed, tolerance=1.3)
+    assert len(problems) == 2
+    assert any("xla_cold_ms" in p for p in problems)
+    assert any("err_max" in p for p in problems)
+
+  def test_missing_keys_ignored(self):
+    from benchmarks import check_regression as cr
+    # A new artifact gaining keys (or an old one lacking them) must not
+    # crash the tripwire.
+    assert cr.compare({"new_key_ms": 5.0}, {"xla_cold_ms": 1.0}, 1.3) == []
