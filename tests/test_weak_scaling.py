@@ -100,3 +100,28 @@ class TestSolveScaling:
     # size (64*32*32*4B ~= 0.26 MB), not the k-fold replication blowup.
     result_bytes = 64 * 32 * 32 * 4
     assert float(ca["bytes accessed"]) < 40 * result_bytes, ca
+
+
+class TestBenchShapeScaling:
+  """The cost-model scaling check at the headline fixture's REAL shape
+  ([712, 128, 128] inverse-4th-roots), not just m=32 toys — so the
+  committed scaling claim covers the batch the bench actually solves."""
+
+  def test_strong_scaling_per_device_flops_bench_shape(self):
+    stats, pads = _fixture(712, m=128)
+    # 712 isn't divisible by 8: pad to the mesh multiple exactly like the
+    # optimizer's solver-padding (pads=0 members zero out in-kernel).
+    pad_n = (-712) % 8
+    stats = jnp.concatenate(
+        [stats, jnp.broadcast_to(jnp.eye(128, dtype=stats.dtype),
+                                 (pad_n, 128, 128))])
+    pads = jnp.concatenate([pads, jnp.zeros((pad_n,), jnp.int32)])
+    flops = {}
+    for k in (1, 8):
+      mesh = Mesh(np.asarray(jax.devices()[:k]).reshape(k), ("d",))
+      sh = NamedSharding(mesh, P("d"))
+      ca = _cost(_sharded_solve(mesh),
+                 jax.device_put(stats, sh), jax.device_put(pads, sh))
+      flops[k] = float(ca["flops"])
+    efficiency = flops[1] / (8 * flops[8])
+    assert efficiency > 0.95, flops
