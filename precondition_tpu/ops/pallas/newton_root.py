@@ -76,10 +76,12 @@ def tile_for(m: int, warm: bool = False) -> int:
   """Matrices per grid step: fill the MXU pipeline within VMEM budget.
 
   Warm solves hold ~2x the live state (prev, C, CMC, CC blocks), so they
-  run half the tile.
+  run half the tile.  The cap is 16 (beyond that the batched dots stop
+  gaining pipeline depth and VMEM pressure limits the block size anyway);
+  at the production m=128 the budget yields k=8 cold / 4 warm.
   """
   budget = 128 * 128 * (4 if warm else 8)
-  return max(1, min(8, budget // (m * m)))
+  return max(1, min(16, budget // (m * m)))
 
 
 def _bmm(a, b, prec=lax.Precision.HIGHEST):
@@ -167,10 +169,10 @@ def _power_iteration(mat, row_mask, num_iters=100, tol=1e-6):
   return ev
 
 
-def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
-            ridge_epsilon, error_tolerance, relative_matrix_epsilon,
-            warm_error_threshold, retry_threshold, num_tries,
-            max_error_ratio, coarse_prec, coarse_tolerance):
+def _kernel(pads_ref, maxevs_in_ref, stats_ref, *rest, p, k, m, warm,
+            have_maxev, num_iters, ridge_epsilon, error_tolerance,
+            relative_matrix_epsilon, warm_error_threshold, retry_threshold,
+            num_tries, max_error_ratio):
   if warm:
     (prevs_ref, roots_ref, err_ref, iters_ref, retries_ref,
      maxev_ref) = rest
@@ -197,7 +199,14 @@ def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
 
   mat = stats_ref[...].astype(jnp.float32) * valid
 
-  if relative_matrix_epsilon:
+  if have_maxev:
+    # Externally supplied top eigenvalues (one batched XLA power iteration
+    # over the WHOLE fleet pipelines its latency-bound matvecs; the
+    # in-kernel variant below serialises them over only k member chains).
+    max_ev = jnp.zeros((k, 1, 1), jnp.float32)
+    for j in range(k):
+      max_ev = jnp.where(tile_idx == j, maxevs_in_ref[g * k + j], max_ev)
+  elif relative_matrix_epsilon:
     max_ev = _power_iteration(mat, row_mask)
   else:
     max_ev = jnp.ones((k, 1, 1), jnp.float32)
@@ -217,16 +226,24 @@ def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
   else:
     total_rounds = num_tries
 
-  # Mixed-precision ladder (cold tiles only): coarse matmuls until
-  # `coarse_tolerance`, rebuild the coupled invariant M = H^p (A + r I)
-  # at full precision (coarse rounding erodes it and H, a running
-  # product, is not self-correcting), then polish to `error_tolerance`.
-  ladder = (not warm and coarse_prec is not None
-            and coarse_tolerance > error_tolerance)
+  # NOTE on precision: every matmul runs at HIGHEST.  A mixed-precision
+  # "ladder" (coarse bf16 phase, invariant rebuild, full-precision
+  # polish) was tried and RETIRED: the coupled iteration's invariant
+  # M = H^p (A + r I) relies on H, T and A commuting, which holds only
+  # while every iterate is a polynomial of A.  Coarse rounding injects
+  # non-polynomial components; the polish then converges M -> I while H
+  # drifts off the principal root, so the kernel SELF-REPORTS 1e-6
+  # residuals while emitting roots with true residuals up to ~1e8 on
+  # ill-conditioned input (measured on TPU at the [712,128,128] bench
+  # batch; CPU tests missed it because CPU DEFAULT==HIGHEST).  Measured
+  # gain of the ladder before retirement: 3% (20.3 vs 20.9 ms) — the
+  # tile is MXU-latency-bound, not matmul-throughput-bound, so cheaper
+  # matmuls barely help.  See DESIGN.md "Retired: mixed-precision
+  # ladder".
 
   # Per-member masks live in the while-loop carries as {0,1} float32 —
   # Mosaic cannot yield i1 vectors across loop boundaries.
-  def _make_newton(prec, tol):
+  def _make_newton(tol):
     def newton_cond(state):
       i, _, _, _, _, active = state
       return jnp.logical_and(i < num_iters, jnp.max(active) > 0.0)
@@ -234,8 +251,8 @@ def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
     def newton_body(state):
       i, mat_m, mat_h, error, iters, active = state
       mat_t = (1.0 + inv_p) * eye + alpha * mat_m
-      new_m = _bmm(_bmat_power(mat_t, p, prec), mat_m, prec)
-      new_h = _bmm(mat_h, mat_t, prec)
+      new_m = _bmm(_bmat_power(mat_t, p), mat_m)
+      new_h = _bmm(mat_h, mat_t)
       new_error = _rowmax(jnp.abs(new_m - eye))
       ratio = new_error / jnp.maximum(error, 1e-30)
       # A divergent step is rejected outright: (mat_h, error) stay at the
@@ -277,26 +294,11 @@ def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
       h0 = jnp.where(use_warm > 0.5, prev * jnp.exp(jnp.log(z_w) * inv_p), h0)
     err0 = _rowmax(jnp.abs(m0 - eye))
     zeros = jnp.zeros((k, 1, 1), jnp.float32)
-    if ladder:
-      cond1, body1 = _make_newton(coarse_prec, coarse_tolerance)
-      _, _, mid_h, _, mid_iters, _ = lax.while_loop(
-          cond1, body1,
-          (0, m0, h0, err0, zeros,
-           failed * (err0 > coarse_tolerance).astype(jnp.float32)))
-      m_rb = _bmm(_bmat_power(mid_h, p), damped)
-      err_rb = _rowmax(jnp.abs(m_rb - eye))
-      cond2, body2 = _make_newton(lax.Precision.HIGHEST, error_tolerance)
-      _, _, mat_h, n_error, n_iters, _ = lax.while_loop(
-          cond2, body2,
-          (0, m_rb, mid_h, err_rb, mid_iters,
-           failed * (err_rb > error_tolerance).astype(jnp.float32)))
-    else:
-      newton_cond, newton_body = _make_newton(
-          lax.Precision.HIGHEST, error_tolerance)
-      _, _, mat_h, n_error, n_iters, _ = lax.while_loop(
-          newton_cond, newton_body,
-          (0, m0, h0, err0, zeros,
-           failed * (err0 > error_tolerance).astype(jnp.float32)))
+    newton_cond, newton_body = _make_newton(error_tolerance)
+    _, _, mat_h, n_error, n_iters, _ = lax.while_loop(
+        newton_cond, newton_body,
+        (0, m0, h0, err0, zeros,
+         failed * (err0 > error_tolerance).astype(jnp.float32)))
     # Only members that entered this round adopt its results.
     entered = failed > 0.5
     root = jnp.where(entered, mat_h, root)
@@ -323,9 +325,9 @@ def _kernel(pads_ref, stats_ref, *rest, p, k, m, warm, num_iters,
     # The warm limit prev * M0^{-1/p} is symmetric only up to the
     # certified-small non-commutativity; symmetrise those members.
     root = jnp.where(warm_final > 0.5, 0.5 * (root + _transpose(root)), root)
-  elif ladder:
-    # Coarse-phase rounding breaks the exact-commutativity argument that
-    # keeps H symmetric; the SPD root is symmetric, so symmetrising only
+  else:
+    # The SPD principal root is symmetric; H is symmetric up to rounding
+    # (measured ~1e-3 max at the bench batch), so symmetrising only
     # removes error components.
     root = 0.5 * (root + _transpose(root))
 
@@ -351,6 +353,7 @@ def batched_inverse_pth_root_pallas(
     padding_starts: Optional[Array] = None,
     *,
     prevs: Optional[Array] = None,
+    max_evs: Optional[Array] = None,
     num_iters: int = 100,
     ridge_epsilon: float = 1e-6,
     error_tolerance: float = 1e-6,
@@ -359,8 +362,6 @@ def batched_inverse_pth_root_pallas(
     retry_loop_error_threshold: float = 0.05,
     num_tries: int = 6,
     max_error_ratio: float = 1.2,
-    coarse_precision: Optional[lax.Precision] = lax.Precision.DEFAULT,
-    coarse_tolerance: float = 3e-2,
     interpret: bool = False,
 ) -> Tuple[Array, RootMetrics]:
   """Drop-in fused replacement for `pth_root.batched_inverse_pth_root`.
@@ -372,13 +373,12 @@ def batched_inverse_pth_root_pallas(
     padding_starts: ``[N]`` int32 valid sizes (defaults to m).
     prevs: optional ``[N, m, m]`` previous roots for certified warm
       starts (`reuse_preconditioner`).
-    coarse_precision: matmul tier for the mixed-precision ladder's first
-      phase (see `pth_root.matrix_inverse_pth_root`).  Mosaic lowers only
-      DEFAULT (single-pass bf16, ~6x the HIGHEST MXU rate) and HIGHEST —
-      `Precision.HIGH` is rejected at TPU compile time.  DEFAULT's
-      residual floor is ~1e-2, so `coarse_tolerance` sits at 3e-2;
-      quadratic convergence still reaches 1e-6 in ~3 polish iterations.
-      `None` disables the ladder.
+    max_evs: optional ``[N]`` externally computed top eigenvalues for the
+      relative ridge.  Supplying them (one batched XLA power iteration
+      over the whole fleet) removes the kernel's dominant latency-bound
+      phase: the in-kernel power iteration serialises up to ~100 matvecs
+      over only ``k`` member chains, while the fleet-wide XLA batch
+      pipelines all N.  Ignored when ``relative_matrix_epsilon=False``.
     interpret: run the kernel in the Pallas interpreter (CPU CI).
 
   Returns:
@@ -388,13 +388,12 @@ def batched_inverse_pth_root_pallas(
   assert m == m2, stats.shape
   assert supported(m), f"matrix size {m} unsupported by the pallas kernel"
   assert isinstance(p, int) and p >= 1, p
-  # Mosaic's dot_general lowering accepts only these tiers; HIGH would
-  # fail at TPU compile time (jax/_src/pallas/mosaic/lowering.py).
-  assert coarse_precision in (
-      None, lax.Precision.DEFAULT, lax.Precision.HIGHEST), coarse_precision
   if padding_starts is None:
     padding_starts = jnp.full((n,), m, jnp.int32)
 
+  have_maxev = max_evs is not None and relative_matrix_epsilon
+  if not have_maxev:
+    max_evs = jnp.zeros((n,), jnp.float32)
   k = tile_for(m, warm=prevs is not None)
   pad_n = (-n) % k
   if pad_n:
@@ -403,6 +402,7 @@ def batched_inverse_pth_root_pallas(
     stats = jnp.concatenate([stats, filler], axis=0)
     padding_starts = jnp.concatenate(
         [padding_starts, jnp.zeros((pad_n,), jnp.int32)])
+    max_evs = jnp.concatenate([max_evs, jnp.ones((pad_n,), max_evs.dtype)])
     if prevs is not None:
       prevs = jnp.concatenate([prevs, filler.astype(prevs.dtype)], axis=0)
   total = n + pad_n
@@ -414,19 +414,19 @@ def batched_inverse_pth_root_pallas(
     prevs = None
 
   kernel = functools.partial(
-      _kernel, p=p, k=k, m=m, warm=warm, num_iters=num_iters,
+      _kernel, p=p, k=k, m=m, warm=warm, have_maxev=have_maxev,
+      num_iters=num_iters,
       ridge_epsilon=ridge_epsilon, error_tolerance=error_tolerance,
       relative_matrix_epsilon=relative_matrix_epsilon,
       warm_error_threshold=warm_error_threshold,
       retry_threshold=retry_loop_error_threshold, num_tries=num_tries,
-      max_error_ratio=max_error_ratio, coarse_prec=coarse_precision,
-      coarse_tolerance=coarse_tolerance)
+      max_error_ratio=max_error_ratio)
 
   mat_spec = pl.BlockSpec((k, m, m), lambda i, *_: (i, 0, 0),
                           memory_space=pltpu.VMEM)
   smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=1,
+      num_scalar_prefetch=2,
       grid=(total // k,),
       in_specs=[mat_spec] * (2 if warm else 1),
       out_specs=[mat_spec, smem_spec, smem_spec, smem_spec, smem_spec],
@@ -434,7 +434,8 @@ def batched_inverse_pth_root_pallas(
 
   # ~5 batched matmuls x ~25 amortised iterations per matrix.
   flops_per = 5 * 2 * m * m * m * 25
-  args = [padding_starts.astype(jnp.int32), stats.astype(jnp.float32)]
+  args = [padding_starts.astype(jnp.int32), max_evs.astype(jnp.float32),
+          stats.astype(jnp.float32)]
   if warm:
     args.append(prevs.astype(jnp.float32))
   roots, errors, iters, retries, maxevs = pl.pallas_call(

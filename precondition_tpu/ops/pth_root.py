@@ -246,8 +246,6 @@ def matrix_inverse_pth_root(
     newton_unroll: Optional[int] = None,
     warm_error_threshold: float = 0.05,
     generate_diagnostics: bool = False,
-    coarse_precision: Optional[lax.Precision] = None,
-    coarse_tolerance: float = 1e-3,
 ) -> Tuple[Array, RootMetrics]:
   """``(matrix + eps I)^{-1/p}`` via coupled Newton with production guards.
 
@@ -288,23 +286,16 @@ def matrix_inverse_pth_root(
     accumulate across solves, because each fixed point is anchored to
     the current statistics.
 
-  * ``coarse_precision``/``coarse_tolerance``: mixed-precision Newton.
-    The iteration is quadratically convergent and self-correcting in
-    ``M``, so the early iterations do not need full-precision matmuls:
-    phase 1 runs at ``coarse_precision`` (HIGH = 3 bf16 passes, ~2x the
-    MXU rate of HIGHEST's 6) until the residual reaches
-    ``coarse_tolerance``; the coupled invariant ``M = H^p (A + r I)``
-    (which low-precision rounding *does* erode — ``H`` is a product and
-    not self-correcting) is then rebuilt exactly at full precision, and
-    phase 2 polishes the true residual down to ``error_tolerance``
-    (2-3 iterations from 1e-3, by quadratic convergence).  Cold solves
-    only; warm rounds are already 1-2 iterations of polish.  Opt-in here
-    (default ``None``): the invariant rebuild perturbs the iterate
-    trajectory by O(eps * cond), which is numerically benign (same true
-    residual) but breaks tight trajectory-parity with the upstream
-    reference that this path is oracle-tested against.  The Pallas tile
-    solver — the TPU cold path, where the MXU-rate win is real — enables
-    it by default.
+  A mixed-precision "ladder" (coarse bf16-tier phase, then an invariant
+  rebuild, then a full-precision polish) used to be available here and in
+  the Pallas kernel.  It is RETIRED: the coupled iteration is only
+  self-correcting in ``M``; rebuilding ``M = H^p (A + r I)`` once does
+  not restore the commutativity of ``H`` with ``A`` that coarse rounding
+  destroyed, so the polish converges ``M -> I`` while ``H`` drifts off
+  the principal root — the solver then self-reports 1e-6 residuals while
+  emitting roots whose true residual is unbounded on ill-conditioned
+  input (measured ~1e8 on TPU at the bench batch).  The measured benefit
+  was ~3%: the solve is latency-bound, not matmul-throughput-bound.
 
   Returns:
     ``(root, RootMetrics)``; root in ``matrix.dtype``.
@@ -365,11 +356,14 @@ def matrix_inverse_pth_root(
       with jax.named_scope("PowerIteration"):
         # Warm re-solves converge in 1-2 Newton iterations, so the
         # eigenvalue estimate (which only scales the ridge) dominates
-        # their cost; a relative exit cuts the ~100 sequential matvecs
-        # without moving the ridge beyond solver tolerance.  Cold solves
-        # keep the reference's absolute exit for trajectory parity.
+        # their cost; a LOOSE relative exit (1%) cuts the ~100 sequential
+        # matvecs to a handful.  A 1% ridge shift moves the root by
+        # <= 0.25% in ridge-dominated directions — far inside the warm
+        # certificate's 0.05 acceptance bound.  Cold solves keep the
+        # reference's tight absolute exit for trajectory parity.
         _, max_ev = power_iteration(
-            matrix, num_iters=100, error_tolerance=1e-6,
+            matrix, num_iters=100,
+            error_tolerance=1e-2 if warm else 1e-6,
             precision=precision, padding_start=padding_start,
             relative_tolerance=warm)
   else:
@@ -408,13 +402,6 @@ def matrix_inverse_pth_root(
 
     return lax.while_loop(
         cond, body, (i0, m0, h0, h0, err0, jnp.asarray(1.0, work)))
-
-  # Mixed-precision ladder applies to cold solves at reduced-precision
-  # matmul tiers only (f64 work dtype means full-precision everywhere,
-  # and warm rounds are already 1-2 polish iterations).
-  use_ladder = (coarse_precision is not None and not warm
-                and coarse_tolerance > error_tolerance
-                and work == jnp.float32)
 
   if n == 1:
     root = (matrix + ridge) ** alpha
@@ -477,33 +464,15 @@ def matrix_inverse_pth_root(
         m0 = jnp.where(use_warm, m0_w * z_w, m0)
         h0 = jnp.where(use_warm, prev_w * jnp.power(z_w, 1.0 / p), h0)
       err0 = jnp.max(jnp.abs(m0 - identity))
-      if use_ladder:
-        iters, mat_m, mat_h, old_h, error, ratio = _newton_phase(
-            0, m0, h0, err0, coarse_precision, coarse_tolerance)
-        # Roll back a diverged coarse phase before rebuilding (the
-        # polish phase then restarts from the last good iterate).
-        took = jnp.asarray(ratio < max_error_ratio, mat_h.dtype)
-        mat_h = took * mat_h + (1 - took) * old_h
-        # Rebuild the coupled invariant M = H^p (A + r I) at full
-        # precision: coarse matmuls erode it to ~their error floor, and
-        # H (a running product) is not self-correcting, so polishing the
-        # carried M alone would converge to a root that is wrong at the
-        # coarse floor.
-        mat_m = jnp.matmul(mat_power(mat_h, p, precision), damped,
-                           precision=precision)
-        err_rb = jnp.max(jnp.abs(mat_m - identity))
-        iters, mat_m, mat_h, old_h, error, ratio = _newton_phase(
-            iters, mat_m, mat_h, err_rb, precision, error_tolerance)
-      else:
-        iters, mat_m, mat_h, old_h, error, ratio = _newton_phase(
-            0, m0, h0, err0, precision, error_tolerance)
+      iters, mat_m, mat_h, old_h, error, ratio = _newton_phase(
+          0, m0, h0, err0, precision, error_tolerance)
       error = jnp.max(jnp.abs(mat_m - identity)).astype(jnp.float32)
       converged = jnp.asarray(ratio < max_error_ratio, mat_h.dtype)
       root = converged * mat_h + (1 - converged) * old_h
-      if warm or use_ladder:
-        # Warm limits and coarse-phase rounding are symmetric only up to
-        # small non-commutativity; the SPD root is symmetric, so
-        # symmetrising only removes error components.
+      if warm:
+        # Warm limits are symmetric only up to small non-commutativity;
+        # the SPD root is symmetric, so symmetrising only removes error
+        # components.
         root = 0.5 * (root + root.T)
       return (i + 1, root, error, jnp.asarray(iters, jnp.float32),
               jnp.asarray(ratio, jnp.float32),
