@@ -109,10 +109,18 @@ def measure(n=712, m=128, p=4):
   s0 = jnp.zeros((n, m, m), jnp.float32)
 
   def gram_body(_, s):
+    # The 1e-30 carry coupling keeps the contraction inside the timed
+    # loop: with a loop-invariant `g` XLA hoists the einsum out of the
+    # fori_loop entirely and the "measurement" reports multi-TB/s HBM
+    # rates (observed 8.7 TB/s on an ~0.8 TB/s part).
+    gg = g * (1.0 + 1e-30 * s)
     return 0.999 * s + 0.001 * jnp.einsum(
-        "nij,nkj->nik", g, g, precision=jax.lax.Precision.HIGHEST)
+        "nij,nkj->nik", gg, gg, precision=jax.lax.Precision.HIGHEST)
 
-  t_gram = _timeit_loop(gram_body, s0, k=64, rtt=rtt)
+  # k must keep the whole loop well above the ~30 ms tunnel RTT being
+  # subtracted (at k=64 the 0.18 ms/iter loop ran UNDER the RTT and the
+  # artifact recorded a nonsense 0.0 ms).
+  t_gram = _timeit_loop(gram_body, s0, k=256, rtt=rtt)
   out["stats_gemm_ms"] = round(t_gram * 1e3, 3)
   out["stats_gemm_gflops"] = round(n * 2 * m**3 / t_gram / 1e9, 1)
   # The gram EMA is HBM-bound: 3 x [n,m,m] f32 moves per update.
@@ -154,20 +162,92 @@ def measure(n=712, m=128, p=4):
   pallas = lambda s, w: newton_root.batched_inverse_pth_root_pallas(
       s, p, pads, prevs=w)
 
-  pallas_single = lambda s, w: newton_root.batched_inverse_pth_root_pallas(
-      s, p, pads, prevs=w, coarse_precision=None)
+  # Production routing (`optim/shampoo._solve_batched`): the relative
+  # ridge's top eigenvalues come from ONE fleet-wide batched XLA power
+  # iteration, then the kernel runs with its latency-bound in-kernel
+  # power iteration disabled.  Timed as the composite (power iteration
+  # included) since that is what a step pays.
+  def _ext_maxev(s):
+    return jax.vmap(
+        lambda mat, d: pth_root.power_iteration(
+            mat, padding_start=d, relative_tolerance=True)[1])(s, pads)
+
+  pallas_ext = lambda s, w: newton_root.batched_inverse_pth_root_pallas(
+      s, p, pads, prevs=w, max_evs=_ext_maxev(s))
 
   roots = record("xla_cold", xla, stats)
   record("xla_warm", xla, drifted, warm_with=roots, k=8)
   pl_roots = record("pallas_cold", pallas, stats)
   record("pallas_warm", pallas, drifted, warm_with=pl_roots, k=8)
-  # Ladder ablation: same kernel, single-phase HIGHEST iteration.
-  record("pallas_cold_single", pallas_single, stats)
+  record("pallas_cold_ext", pallas_ext, stats)
+  record("pallas_warm_ext", pallas_ext, drifted, warm_with=pl_roots, k=8)
+
+  # TRUE residual |H^p (A + r I) - I| of the kernel's roots, recomputed
+  # on the host in float64, independently of the solver's self-report —
+  # the tripwire that would have caught the retired mixed-precision
+  # ladder (self-reported 1e-6 while emitting ~1e8-residual roots on
+  # this very batch).  The f32 storage of H alone contributes
+  # ~eps_f32 * p * cond ~ O(1) at this batch's conditioning, so the
+  # meaningful signal is the order of magnitude.
+  rr, rm = jax.jit(lambda s: pallas(s, None))(stats)
+  h64 = np.asarray(rr, np.float64)
+  eff = (1e-6 * np.maximum(np.asarray(rm.max_eigenvalue, np.float64), 1e-30)
+         * 10.0 ** np.maximum(np.asarray(rm.retries, np.float64) - 1.0, 0.0))
+  d64 = np.asarray(stats, np.float64) + eff[:, None, None] * np.eye(m)
+  hp64 = np.matmul(np.matmul(h64, h64), np.matmul(h64, h64))
+  resid = np.matmul(hp64, d64) - np.eye(m)
+  out["pallas_cold_true_residual"] = float(np.abs(resid).max())
+
+  # The standalone fleet-wide power iteration, for the phase breakdown.
+  def pi_body(_, c):
+    return _ext_maxev(stats * (1.0 + 1e-30 * c[:, None, None]))
+
+  t_pi = _timeit_loop(pi_body, jnp.zeros((n,), jnp.float32), k=8, rtt=rtt)
+  out["xla_powerit_ms"] = round(t_pi * 1e3, 3)
+
   out["pallas_vs_xla_cold"] = round(out["xla_cold_ms"]
                                     / out["pallas_cold_ms"], 2)
   out["pallas_vs_xla_warm"] = round(out["xla_warm_ms"]
                                     / out["pallas_warm_ms"], 2)
+  out["pallas_ext_vs_xla_cold"] = round(out["xla_cold_ms"]
+                                        / out["pallas_cold_ext_ms"], 2)
+  out["pallas_ext_vs_xla_warm"] = round(out["xla_warm_ms"]
+                                        / out["pallas_warm_ext_ms"], 2)
   out["pallas_xla_root_agreement"] = float(jnp.max(jnp.abs(roots - pl_roots)))
+
+  # block_size=1024 fallback row: the fused whole-matrix kernel cannot
+  # hold a [1024,1024] f32 working set (~4 MB/buffer x ~8 live buffers vs
+  # ~16 MB VMEM/core), so `supported()` caps at 512 and the optimizer
+  # routes these to XLA — measured here so the cap is a recorded tradeoff,
+  # not an untested claim.  (Reference block-size guidance:
+  # `distributed_shampoo.py:1917-1920`.)
+  out["pallas_supported_m1024"] = newton_root.supported(1024)
+  n2, m2 = 24, 1024
+  g2 = jnp.asarray(rng.randn(n2, m2, m2).astype(np.float32))
+  stats2 = jnp.einsum("nij,nkj->nik", g2, g2) / m2
+  pads2 = jnp.full((n2,), m2, jnp.int32)
+  drift2 = jnp.einsum("nij,nkj->nik", 0.03 * g2[:, :, ::-1], g2) / m2
+  drifted2 = 0.999 * stats2 + 0.001 * (drift2 + jnp.swapaxes(drift2, 1, 2))
+
+  def record2(tag, solve, problem, warm_with=None, k=2):
+    roots2, met2 = jax.jit(lambda s: solve(s, warm_with))(problem)
+    _sync(roots2)
+
+    def body(_, carry):
+      r, _ = solve(problem + 1e-30 * carry, warm_with)
+      return r
+
+    t = _timeit_loop(body, jnp.zeros_like(problem), k=k, rtt=rtt)
+    iters_total = float(jnp.sum(met2.iterations))
+    flops = iters_total * p * 2 * m2**3
+    out[f"{tag}_ms"] = round(t * 1e3, 3)
+    out[f"{tag}_gflops"] = round(flops / t / 1e9, 1)
+    out[f"{tag}_iters_mean"] = round(iters_total / n2, 1)
+    return roots2
+
+  xla2 = lambda s, w: pth_root.batched_inverse_pth_root(s, p, pads2, prevs=w)
+  roots2 = record2("xla_cold_m1024", xla2, stats2)
+  record2("xla_warm_m1024", xla2, drifted2, warm_with=roots2, k=4)
   return out
 
 

@@ -616,21 +616,38 @@ def distributed_shampoo(
     ``solver_backend``: ``'xla'`` always uses the vmapped jnp solver;
     ``'pallas'`` always routes supported sizes through the fused
     VMEM-resident tile kernel (`ops.pallas.newton_root`); ``'auto'``
-    (default) picks per measured profile (`KERNELS_TPU.json`): Pallas for
-    COLD solves on TPU (1.36x XLA — tile-level early exit beats paying
-    the batch-max iteration count), XLA for WARM re-solves (1-2 Newton
-    iterations leave nothing for the tile to win back, 0.44x).
+    (default) routes BOTH cold and warm solves through the kernel on TPU
+    with fleet-wide external eigenvalues (measured, `KERNELS_TPU.json`):
+    cold 2.66x XLA (20.1 TF/s — the tile's per-member early exit plus
+    VMEM residency beat the vmapped while_loop's batch-max iteration
+    count and HBM round trips), warm 1.47x (with the latency-bound power
+    iteration hoisted out of the kernel into one pipelined XLA batch,
+    the 1-2 certified Newton polish iterations run entirely on-chip).
     """
     use_pallas = solver_backend == "pallas" or (
-        solver_backend == "auto" and prevs is None
-        and jax.default_backend() == "tpu")
+        solver_backend == "auto" and jax.default_backend() == "tpu")
     if (use_pallas and not eigh
         and lobpcg_topk_precondition == 0 and isinstance(exps, int)):
       from precondition_tpu.ops.pallas import newton_root
 
       if newton_root.supported(stacked.shape[-1]):
+        max_evs = None
+        if relative_matrix_epsilon:
+          # Top eigenvalues for the relative ridge, computed OUTSIDE the
+          # kernel: one fleet-wide batched power iteration pipelines all
+          # N latency-bound matvec chains through the MXU, where the
+          # in-kernel variant serialises them over only the tile's k
+          # members (measured as the warm path's dominant cost).  Warm
+          # re-solves take the loose 1% exit — the estimate only scales
+          # the ridge and the warm certificate gates quality.
+          pi_tol = 1e-2 if prevs is not None else 1e-6
+          max_evs = jax.vmap(
+              lambda s, d: pth_root.power_iteration(
+                  s, precision=precision, padding_start=d,
+                  error_tolerance=pi_tol,
+                  relative_tolerance=True)[1])(stacked, pads)
         roots, metrics = newton_root.batched_inverse_pth_root_pallas(
-            stacked, exps, pads, prevs=prevs,
+            stacked, exps, pads, prevs=prevs, max_evs=max_evs,
             ridge_epsilon=matrix_epsilon,
             relative_matrix_epsilon=relative_matrix_epsilon)
         if generate_detailed_metrics:

@@ -52,3 +52,20 @@ def has_reference() -> bool:
 
 requires_reference = pytest.mark.skipif(
     not has_reference(), reason="upstream reference oracle not importable")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_executable_caches():
+  """Drop compiled executables between test modules.
+
+  JAX pins every compiled program for the life of the process; across
+  the full suite (~hundreds of compiles, each mapping multiple
+  executable regions) the process walks into the kernel's
+  vm.max_map_count limit (default 65530) and XLA's LLVM backend aborts
+  with 'Cannot allocate memory' DESPITE free RAM — observed as a
+  SIGABRT inside an innocent test_shampoo compile at ~2/3 of the suite.
+  Per-module clearing is nearly free here: tests build fresh optimizer
+  closures, so cross-test executable reuse was almost nil anyway.
+  """
+  yield
+  jax.clear_caches()
