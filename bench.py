@@ -322,59 +322,68 @@ def main():
   # so `reuse_preconditioner` warm starts see genuinely warm roots.
   steady_iters, steady_rounds = (11, 1) if cpu else (11, 3)
   if _remaining() > _FINALIZE_MARGIN_S + 30.0:
-    steady = [_guarded(
-        "prepare:ours_steady",
-        lambda: _Candidate(
-            "ours_steady",
-            _make_ours(preconditioning_compute_steps=10,
-                       reuse_preconditioner=True),
-            params, grads, settle_steps=21))]
-    if baseline_tx is not None:
-      steady.append(_guarded(
-          "prepare:baseline_steady",
+    # A failure in an optional phase must not cost the already-recorded
+    # headline: record the error and emit what exists.
+    try:
+      steady = [_guarded(
+          "prepare:ours_steady",
           lambda: _Candidate(
-              "baseline_steady",
-              _make_baseline(preconditioning_compute_steps=10),
-              params, grads, settle_steps=21)))
+              "ours_steady",
+              _make_ours(preconditioning_compute_steps=10,
+                         reuse_preconditioner=True),
+              params, grads, settle_steps=21))]
+      if baseline_tx is not None:
+        steady.append(_guarded(
+            "prepare:baseline_steady",
+            lambda: _Candidate(
+                "baseline_steady",
+                _make_baseline(preconditioning_compute_steps=10),
+                params, grads, settle_steps=21)))
 
-    def _record_steady(best):
-      _RESULT["steady_ms"] = round(best["ours_steady"] * 1e3, 3)
-      if ("baseline_steady" in best
-          and np.isfinite(best["baseline_steady"])):
-        _RESULT["steady_baseline_ms"] = round(
-            best["baseline_steady"] * 1e3, 3)
-        _RESULT["steady_vs_baseline"] = round(
-            best["baseline_steady"] / best["ours_steady"], 3)
-      _RESULT["steady_note"] = (
-          "preconditioning_compute_steps=10, ours with "
-          "reuse_preconditioner warm re-solves; constant-gradient fixture "
-          "(statistics settle, so warm starts are near best case)")
+      def _record_steady(best):
+        _RESULT["steady_ms"] = round(best["ours_steady"] * 1e3, 3)
+        if ("baseline_steady" in best
+            and np.isfinite(best["baseline_steady"])):
+          _RESULT["steady_baseline_ms"] = round(
+              best["baseline_steady"] * 1e3, 3)
+          _RESULT["steady_vs_baseline"] = round(
+              best["baseline_steady"] / best["ours_steady"], 3)
+        _RESULT["steady_note"] = (
+            "preconditioning_compute_steps=10, ours with "
+            "reuse_preconditioner warm re-solves; constant-gradient "
+            "fixture (statistics settle, so warm starts are near best "
+            "case)")
 
-    _measure_pair(steady, steady_iters, steady_rounds, _record_steady)
+      _measure_pair(steady, steady_iters, steady_rounds, _record_steady)
+    except Exception as e:
+      _RESULT["steady_error"] = repr(e)[:300]
 
   # ---- Phase 3 (optional): warm-start lever at solve-every-step. -------
   # Skipped by default on CPU and when the budget is tight; set
   # BENCH_WARMSTART=0 to disable outright.
   if (os.environ.get("BENCH_WARMSTART", "1") != "0" and not cpu
       and _remaining() > _FINALIZE_MARGIN_S + 30.0):
-    warm = [_guarded(
-        "prepare:ours_warmstart",
-        lambda: _Candidate(
-            "ours_warmstart",
-            _make_ours(preconditioning_compute_steps=1,
-                       reuse_preconditioner=True),
-            params, grads, settle_steps=3))]
+    try:
+      warm = [_guarded(
+          "prepare:ours_warmstart",
+          lambda: _Candidate(
+              "ours_warmstart",
+              _make_ours(preconditioning_compute_steps=1,
+                         reuse_preconditioner=True),
+              params, grads, settle_steps=3))]
 
-    def _record_warm(best):
-      _RESULT["warmstart_bestcase_ms"] = round(
-          best["ours_warmstart"] * 1e3, 3)
-      _RESULT["warmstart_note"] = (
-          "reuse_preconditioner at solve-every-step on the settled "
-          "constant-gradient fixture: statistics barely drift between "
-          "solves, so this is the lever's best case, not a typical "
-          "training speedup")
+      def _record_warm(best):
+        _RESULT["warmstart_bestcase_ms"] = round(
+            best["ours_warmstart"] * 1e3, 3)
+        _RESULT["warmstart_note"] = (
+            "reuse_preconditioner at solve-every-step on the settled "
+            "constant-gradient fixture: statistics barely drift between "
+            "solves, so this is the lever's best case, not a typical "
+            "training speedup")
 
-    _measure_pair(warm, head_iters, max(head_rounds - 2, 1), _record_warm)
+      _measure_pair(warm, head_iters, max(head_rounds - 2, 1), _record_warm)
+    except Exception as e:
+      _RESULT["warmstart_error"] = repr(e)[:300]
 
   # Per-kernel roofline numbers: measuring them live adds ~15 min of XLA
   # compile through the TPU tunnel, so attach the recorded artifact from
@@ -391,4 +400,8 @@ def main():
 
 
 if __name__ == "__main__":
-  main()
+  try:
+    main()
+  except Exception as e:  # never die without the one JSON line
+    _RESULT["error"] = repr(e)[:500]
+    _finalize(0)
