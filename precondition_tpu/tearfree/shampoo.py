@@ -39,12 +39,27 @@ class Options:
     update_preconditioners_freq: steps between inverse-root refreshes.
     update_statistics_freq: steps between statistics updates.
     second_moment_decay: EMA decay for statistics (1.0 = running sum).
+    solver_backend: how the batched inverse roots are computed.
+      ``"eigh"`` (default, upstream-parity semantics) eigendecomposes and
+      treats eigenvalues below ``1e-6 * lambda_max`` as exactly zero —
+      pseudo-inverse-root behavior on rank-deficient early-training
+      covariances.  ``"newton"`` runs the coupled-Newton solver instead
+      (the Pallas tile kernel on TPU for supported block sizes, the
+      batched XLA iteration elsewhere) — measured ~14x faster than the
+      batched eigh on TPU v5e at the [712,128,128] batch
+      (`KERNELS_TPU.json` xla path 28 ms vs eigh 399 ms,
+      `STEP_BREAKDOWN_TPU.json`) — with distributed_shampoo-style
+      regularization semantics: near-null directions get
+      ``(w + 1e-6 * lambda_max)^{-1/p}`` rather than zero, i.e. the
+      ridge inverse-root the flagship optimizer uses everywhere.  The
+      two agree wherever the spectrum is numerically full-rank.
   """
 
   block_size: int = 1024
   update_preconditioners_freq: int = 1
   update_statistics_freq: int = 1
   second_moment_decay: float = 0.999
+  solver_backend: str = "eigh"
 
 
 def _validate(options: Options) -> None:
@@ -62,6 +77,10 @@ def _validate(options: Options) -> None:
     raise ValueError(
         f"second_moment_decay ({options.second_moment_decay}) "
         "should be in [0, 1]")
+  if options.solver_backend not in ("eigh", "newton"):
+    raise ValueError(
+        f"solver_backend ({options.solver_backend!r}) must be 'eigh' or "
+        "'newton'")
 
 
 class _AxesBlocks(NamedTuple):
@@ -216,11 +235,38 @@ def _pth_inv_root(p: int, cov: jax.Array) -> jax.Array:
   return jnp.einsum("...ik,...jk->...ij", half_v, half_v)
 
 
-def _update_block_precond(block: _AxesBlocks,
-                          meta: _BlocksMeta) -> _AxesBlocks:
+def _newton_inv_root(p: int, cov: jax.Array) -> jax.Array:
+  """Batched coupled-Newton ``cov^{-1/p}`` (ridge-regularized semantics).
+
+  TPU routes supported block sizes through the fused Pallas tile kernel
+  with fleet-wide external eigenvalues (same placement argument as
+  `optim/shampoo._solve_batched`); elsewhere the batched XLA iteration
+  runs.  ~14x the batched eigh's TPU throughput at production shapes.
+  """
+  from precondition_tpu.ops import pth_root
+
+  n, d = cov.shape[0], cov.shape[-1]
+  pads = jnp.full((n,), d, jnp.int32)
+  if jax.default_backend() == "tpu":
+    from precondition_tpu.ops.pallas import newton_root
+
+    if newton_root.supported(d):
+      max_evs = jax.vmap(
+          lambda s, dd: pth_root.power_iteration(
+              s, padding_start=dd, relative_tolerance=True)[1])(cov, pads)
+      roots, _ = newton_root.batched_inverse_pth_root_pallas(
+          cov, p, pads, max_evs=max_evs)
+      return roots
+  roots, _ = pth_root.batched_inverse_pth_root(cov, p, pads)
+  return roots
+
+
+def _update_block_precond(block: _AxesBlocks, meta: _BlocksMeta,
+                          solver: str = "eigh") -> _AxesBlocks:
   p = len(meta.param_shape) * 2
+  inv_root = _pth_inv_root if solver == "eigh" else _newton_inv_root
   with jax.named_scope("PthInvRoot"):
-    new_roots = [_pth_inv_root(p, s) for s in block.stats]
+    new_roots = [inv_root(p, s) for s in block.stats]
   return _AxesBlocks(stats=block.stats, roots=new_roots)
 
 
@@ -299,7 +345,10 @@ def _update(
       update_stats, lambda: blocks)
 
   update_precond = functools.partial(
-      jax.tree.map, _update_block_precond, blocks, meta, is_leaf=is_block)
+      jax.tree.map,
+      functools.partial(_update_block_precond,
+                        solver=options.solver_backend),
+      blocks, meta, is_leaf=is_block)
   blocks = jax.lax.cond(
       state.count % options.update_preconditioners_freq == 0,
       update_precond, lambda: blocks)

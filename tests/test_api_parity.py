@@ -46,11 +46,20 @@ def _sig_parity(ref_fn, our_fn, ours_only_allowed=()):
           f"additive kwarg {name} must be defaulted")
 
 
-def _fields_parity(ref_cls, our_cls):
+def _fields_parity(ref_cls, our_cls, ours_only_allowed=()):
+  """Every reference field exists here; our additive fields must be
+  explicitly allowlisted AND defaulted (a reference config stays valid
+  verbatim)."""
   rf = {f.name: f for f in dataclasses.fields(ref_cls)}
   of = {f.name: f for f in dataclasses.fields(our_cls)}
-  assert set(rf) == set(of), (sorted(set(rf) - set(of)),
-                              sorted(set(of) - set(rf)))
+  extra = set(of) - set(rf)
+  assert set(rf) <= set(of), sorted(set(rf) - set(of))
+  assert extra <= set(ours_only_allowed), sorted(extra)
+  for name in extra:
+    f = of[name]
+    assert (f.default is not dataclasses.MISSING
+            or f.default_factory is not dataclasses.MISSING), (
+                f"additive field {name} must be defaulted")
 
 
 def test_distributed_shampoo_signature():
@@ -88,7 +97,8 @@ def test_tearfree_signature_and_options():
   from precondition_tpu.tearfree import (
       grafting as og, momentum as om, second_order as oso,
       shampoo as osh, sketchy as osk)
-  _fields_parity(rsh.Options, osh.Options)
+  _fields_parity(rsh.Options, osh.Options,
+                 ours_only_allowed=("solver_backend",))
   _fields_parity(rsk.Options, osk.Options)
   _fields_parity(rg.Options, og.Options)
   _fields_parity(rm.Options, om.Options)

@@ -120,6 +120,42 @@ class TestShampooAnalytic:
       tx.init({"w": jnp.zeros((4, 4, 4))})
 
 
+
+class TestNewtonSolverBackend:
+  """Opt-in coupled-Newton roots for the blocked-Shampoo layer."""
+
+  def test_newton_matches_eigh_on_full_rank_stats(self):
+    # Where the spectrum is numerically full rank the ridge (newton) and
+    # zero-clip (eigh) semantics coincide to solver tolerance.
+    rng = np.random.RandomState(5)
+    g = rng.randn(6, 16, 16).astype(np.float32)
+    cov = jnp.einsum("nij,nkj->nik", g, g) / 16 + 0.05 * jnp.eye(16)[None]
+    for p in (2, 4):
+      eigh_roots = shampoo._pth_inv_root(p, cov)
+      newton_roots = shampoo._newton_inv_root(p, cov)
+      np.testing.assert_allclose(eigh_roots, newton_roots,
+                                 rtol=5e-3, atol=5e-4)
+
+  def test_newton_trajectory_finite_and_close(self):
+    rng = np.random.RandomState(6)
+    params = {"w": jnp.asarray(rng.randn(8, 8) * 0.3, jnp.float32)}
+    kw = dict(block_size=8, second_moment_decay=0.9)
+    tx_e = shampoo.apply(shampoo.Options(**kw))
+    tx_n = shampoo.apply(shampoo.Options(**kw, solver_backend="newton"))
+    se, sn = tx_e.init(params), tx_n.init(params)
+    for i in range(6):
+      g = {"w": jnp.asarray(rng.randn(8, 8) * 0.1, jnp.float32)}
+      ue, se = tx_e.update(g, se, params)
+      un, sn = tx_n.update(g, sn, params)
+      chex.assert_tree_all_finite(un)
+      if i >= 3:  # once stats accumulate toward full rank, they agree
+        chex.assert_trees_all_close(ue, un, rtol=0.1, atol=5e-3)
+
+  def test_validation(self):
+    with pytest.raises(ValueError, match="solver_backend"):
+      shampoo.apply(shampoo.Options(solver_backend="nope"))
+
+
 class TestReshaper:
 
   def test_merge_pad_roundtrip(self):
