@@ -106,10 +106,14 @@ def main():
   s0 = jnp.zeros((n, m, m), jnp.float32)
 
   def gram_body(_, s):
+    # Carry coupling prevents XLA hoisting the loop-invariant einsum out
+    # of the timed fori_loop; k keeps the loop well above the ~30 ms
+    # tunnel RTT being subtracted (see kernel_breakdown.py).
+    gg = g * (1.0 + 1e-30 * s)
     return 0.999 * s + 0.001 * jnp.einsum(
-        "nij,nkj->nik", g, g, precision=lax.Precision.HIGHEST)
+        "nij,nkj->nik", gg, gg, precision=lax.Precision.HIGHEST)
 
-  t_gram = _timeit_loop(gram_body, s0, k=32, rtt=rtt)
+  t_gram = _timeit_loop(gram_body, s0, k=256, rtt=rtt)
   out["gram_update_ms"] = round(t_gram * 1e3, 3)
   print(f"gram update [{n},{m},{m}]: {out['gram_update_ms']:.3f} ms")
 
