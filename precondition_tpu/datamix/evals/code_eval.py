@@ -25,8 +25,14 @@ def run_program_with_tests(program: str, tests: Sequence[str],
     f.write(source)
     path = f.name
   try:
+    # -I (isolated mode) skips site/sitecustomize and ignores PYTHONPATH:
+    # generated code must not inherit the host process's import surface
+    # (the ambient TPU environment's sitecustomize initialises the jax
+    # plugin at interpreter startup — ~4s of the timeout budget gone per
+    # program), and an untrusted program has no business importing the
+    # framework either.
     proc = subprocess.run(
-        [sys.executable, path], capture_output=True, timeout=timeout_s)
+        [sys.executable, "-I", path], capture_output=True, timeout=timeout_s)
     return proc.returncode == 0
   except subprocess.TimeoutExpired:
     return False
