@@ -80,6 +80,21 @@ def main():
   small = bool(os.environ.get("PROFILE_SMALL"))  # CPU smoke of the harness
   n, m = (24, 16) if small else (712, 128)  # bench fixture: blocks x size
 
+  artifact = os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), "STEP_BREAKDOWN_TPU.json")
+
+  def _record(key, val):
+    """Record one measurement and checkpoint the artifact immediately.
+
+    Each section behind this point costs minutes of XLA compile through
+    the TPU tunnel; an external timeout mid-run must not lose the
+    sections already measured (the lesson of the round-2 bench artifact).
+    """
+    out[key] = val
+    if not small:  # recorded artifact only for the real fixture
+      with open(artifact, "w") as f:
+        json.dump(out, f, indent=1)
+
   stats = jnp.asarray(rng.randn(n, m, m), jnp.float32)
   stats = jnp.einsum("nij,nkj->nik", stats, stats) / m  # PSD batch
   pads = jnp.full((n,), m, jnp.int32)
@@ -89,7 +104,7 @@ def main():
     return r
 
   t_solve = _timeit_loop(solve_body, jnp.zeros_like(stats), k=4, rtt=rtt)
-  out["newton_solve_ms"] = round(t_solve * 1e3, 2)
+  _record("newton_solve_ms", round(t_solve * 1e3, 2))
   print(f"newton solve [{n},{m},{m}]: {out['newton_solve_ms']:.2f} ms")
 
   def eigh_body(_, carry):
@@ -98,7 +113,7 @@ def main():
     return r
 
   t_eigh = _timeit_loop(eigh_body, jnp.zeros_like(stats), k=4, rtt=rtt)
-  out["eigh_solve_ms"] = round(t_eigh * 1e3, 2)
+  _record("eigh_solve_ms", round(t_eigh * 1e3, 2))
   print(f"eigh solve: {out['eigh_solve_ms']:.2f} ms")
 
   # Statistics contraction (gram updates) on the full fixture batch.
@@ -114,7 +129,7 @@ def main():
         "nij,nkj->nik", gg, gg, precision=lax.Precision.HIGHEST)
 
   t_gram = _timeit_loop(gram_body, s0, k=256, rtt=rtt)
-  out["gram_update_ms"] = round(t_gram * 1e3, 3)
+  _record("gram_update_ms", round(t_gram * 1e3, 3))
   print(f"gram update [{n},{m},{m}]: {out['gram_update_ms']:.3f} ms")
 
   # Full optimizer step vs its solve-free and stats-free ablations.
@@ -131,14 +146,14 @@ def main():
       **bench.HYPERS, graft_type=shampoo.GraftingType.RMSPROP,
       generate_training_metrics=False)
   with _maybe_trace():  # named_scope-labelled xprof capture of the step
-    out["full_step_ms"] = round(_step_ms(tx, params, grads, rtt), 2)
+    _record("full_step_ms", round(_step_ms(tx, params, grads, rtt), 2))
   print(f"full step: {out['full_step_ms']:.2f} ms")
 
   tx_warm = shampoo.distributed_shampoo(
       **bench.HYPERS, graft_type=shampoo.GraftingType.RMSPROP,
       generate_training_metrics=False, reuse_preconditioner=True)
-  out["full_step_warmstart_ms"] = round(_step_ms(tx_warm, params, grads, rtt),
-                                        2)
+  _record("full_step_warmstart_ms",
+          round(_step_ms(tx_warm, params, grads, rtt), 2))
   print(f"full step (warm-started solves): {out['full_step_warmstart_ms']:.2f}"
         " ms")
 
@@ -148,7 +163,7 @@ def main():
       **{**bench.HYPERS, "preconditioning_compute_steps": 1000},
       graft_type=shampoo.GraftingType.RMSPROP,
       generate_training_metrics=False)
-  out["step_without_solve_ms"] = round(_step_ms(tx2, params, grads, rtt), 2)
+  _record("step_without_solve_ms", round(_step_ms(tx2, params, grads, rtt), 2))
   print(f"step without solve: {out['step_without_solve_ms']:.2f} ms")
 
   # Stats also gated off: grafting + transform + bookkeeping only.
@@ -157,7 +172,7 @@ def main():
          "statistics_compute_steps": 1000},
       graft_type=shampoo.GraftingType.RMSPROP,
       generate_training_metrics=False)
-  out["step_transform_only_ms"] = round(_step_ms(tx3, params, grads, rtt), 2)
+  _record("step_transform_only_ms", round(_step_ms(tx3, params, grads, rtt), 2))
   print(f"step transform-only: {out['step_transform_only_ms']:.2f} ms")
 
   # Secondary fixtures: block-256 Shampoo (the "increase block size with
@@ -166,7 +181,7 @@ def main():
       **{**bench.HYPERS, "block_size": 256},
       graft_type=shampoo.GraftingType.RMSPROP,
       generate_training_metrics=False)
-  out["full_step_block256_ms"] = round(_step_ms(tx4, params, grads, rtt), 2)
+  _record("full_step_block256_ms", round(_step_ms(tx4, params, grads, rtt), 2))
   print(f"full step block 256: {out['full_step_block256_ms']:.2f} ms")
 
   from precondition_tpu.tearfree import optimizer as tearfree_opt
@@ -178,19 +193,14 @@ def main():
               shampoo_options=tf_shampoo.Options(
                   block_size=128, update_preconditioners_freq=1,
                   update_statistics_freq=1))))
-  out["tearfree_step_ms"] = round(_step_ms(tf, params, grads, rtt), 2)
+  _record("tearfree_step_ms", round(_step_ms(tf, params, grads, rtt), 2))
   print(f"tearfree step: {out['tearfree_step_ms']:.2f} ms")
 
-  out["solve_share_ms"] = round(
-      out["full_step_ms"] - out["step_without_solve_ms"], 2)
-  out["stats_share_ms"] = round(
-      out["step_without_solve_ms"] - out["step_transform_only_ms"], 2)
+  _record("solve_share_ms", round(
+      out["full_step_ms"] - out["step_without_solve_ms"], 2))
+  _record("stats_share_ms", round(
+      out["step_without_solve_ms"] - out["step_transform_only_ms"], 2))
   print(json.dumps(out))
-  if not small:  # recorded artifact only for the real fixture
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "STEP_BREAKDOWN_TPU.json")
-    with open(path, "w") as f:
-      json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
