@@ -54,23 +54,38 @@ def _step_ms(tx, params, grads, rtt, k=8, settle_steps=2):
   ``settle_steps`` runs the update outside the timed loop first so
   count-dependent behavior (initial solves, warmup switches) lands in a
   steady state before measurement.
+
+  ``params``/``grads`` are threaded as jit ARGUMENTS, never closure
+  captures: closed-over arrays bake into the program as constants, and a
+  58.7M-param tree of constants blew the serialized executable up to
+  2.9 GB (~15 min to ship through the TPU tunnel per cache load) and the
+  compile into the tens of minutes.  As arguments the same program is
+  ~40 MB (observed on the bench harness, which always did it this way).
+  The iteration count is traced too, so settling and every timing window
+  share ONE compiled program per optimizer (bench.py's `_steps_program`
+  pattern), and the k-vs-1 subtraction cancels the tunnel round-trip.
   """
-  state = tx.init(params)
 
-  def body(_, st):
-    _, st2 = tx.update(grads, st, params)
-    return st2
+  def body(_, carry):
+    st, g, p = carry
+    _, st2 = tx.update(g, st, p)
+    return (st2, g, p)
 
-  settle = jax.jit(lambda st: lax.fori_loop(0, settle_steps, body, st))
-  state = settle(state)
+  run = jax.jit(
+      lambda st, kk, g, p: lax.fori_loop(0, kk, body, (st, g, p))[0])
+  state = run(tx.init(params), settle_steps, grads, params)
   _sync(jax.tree.leaves(state))
 
-  def loop_body(_, st):
-    _, st2 = tx.update(grads, st, params)
-    return st2
-
-  t = _timeit_loop(loop_body, state, k=k, rtt=rtt)
-  return t * 1e3
+  best = float("inf")
+  for _ in range(3):
+    t0 = time.perf_counter()
+    _sync(run(state, k, grads, params))
+    t_many = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(run(state, 1, grads, params))
+    t_one = time.perf_counter() - t0
+    best = min(best, max(t_many - t_one, 1e-9) / (k - 1))
+  return best * 1e3
 
 
 def main():
