@@ -44,9 +44,10 @@ import jax
 # Persist compiled executables across runs: the fixture's programs (ours +
 # the upstream baseline's traced-exponent while_loops) cost ~20 min of XLA
 # compile through the TPU tunnel but milliseconds to reload from cache.
-# The cache directory is committed to the repo so a fresh workspace warm
-# starts too (it must still not be load-bearing: the deadline machinery
-# below keeps a cold run inside the budget by truncating phases).
+# The cache directory persists in the workspace (gitignored — entries are
+# hundreds of MB and keyed to the exact jax build) so a driver bench after
+# a validation run starts warm; it is NOT load-bearing: the deadline
+# machinery below keeps a cold run inside the budget by truncating phases.
 if not os.environ.get("BENCH_NO_COMPILE_CACHE"):
   os.makedirs("/root/repo/.jax_cache", exist_ok=True)
   jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -83,10 +84,17 @@ def _on_term(signum, frame):
   _finalize(0)
 
 
-signal.signal(signal.SIGTERM, _on_term)
-signal.signal(signal.SIGINT, _on_term)
-
+# Installed from main(), NOT at import: other tools (benchmarks/
+# profile_step.py) import this module for the fixture/hypers, and an
+# import-time handler would hijack THEIR shutdown — observed: a timeout's
+# SIGTERM to profile_step printed bench's JSON line and exited 0, masking
+# the timeout.
 _POOL = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+
+def _install_budget_handlers():
+  signal.signal(signal.SIGTERM, _on_term)
+  signal.signal(signal.SIGINT, _on_term)
 
 
 def _guarded(label, fn, *args):
@@ -217,6 +225,7 @@ def _measure_pair(candidates, iters, rounds, record):
 
 
 def main():
+  _install_budget_handlers()
   # If the ambient TPU plugin's backend cannot initialize (tunnel outage),
   # fall back to CPU rather than crashing: a same-harness CPU comparison
   # still yields an honest vs_baseline (both sides run on the same

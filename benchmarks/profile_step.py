@@ -211,6 +211,21 @@ def main():
   _record("tearfree_step_ms", round(_step_ms(tf, params, grads, rtt), 2))
   print(f"tearfree step: {out['tearfree_step_ms']:.2f} ms")
 
+  # Same stack with the opt-in coupled-Newton blocked-root solver
+  # (tearfree/shampoo.py Options.solver_backend='newton'): quantifies the
+  # eigh -> Newton swap at the step level, not just the solver microbench.
+  tf_newton = tearfree_opt.tearfree(
+      learning_rate=0.1,
+      options=tearfree_opt.TearfreeOptions(
+          second_order_options=second_order.Options(
+              shampoo_options=tf_shampoo.Options(
+                  block_size=128, update_preconditioners_freq=1,
+                  update_statistics_freq=1, solver_backend="newton"))))
+  _record("tearfree_step_newton_ms",
+          round(_step_ms(tf_newton, params, grads, rtt), 2))
+  print(f"tearfree step (newton solver): {out['tearfree_step_newton_ms']:.2f}"
+        " ms")
+
   _record("solve_share_ms", round(
       out["full_step_ms"] - out["step_without_solve_ms"], 2))
   _record("stats_share_ms", round(
