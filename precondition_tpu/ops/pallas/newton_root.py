@@ -1,8 +1,8 @@
 """Fused batched inverse-pth-root Pallas kernel (tiled variant).
 
 One grid step solves a *tile* of ``k`` matrices entirely in VMEM: the
-relative-ridge power iteration, the coupled-Newton loop, and the ridge
-retry ladder all run on-chip with zero HBM traffic between iterations.
+coupled-Newton loop and the ridge retry ladder run on-chip with zero
+HBM traffic between iterations.
 
 Why tiles?  The round-1 per-matrix kernel lost to XLA (0.65x): a single
 ``[m, m]`` matmul chain is latency-bound — each Newton iteration is ~4
@@ -36,10 +36,11 @@ the MXU back-to-back.  Convergence control stays per matrix:
 
 Semantics match `matrix_inverse_pth_root` (ridge retry x10 up to 6
 tries, error-ratio divergence exit returning the previous iterate,
-padding masks, pure-padding rows zeroed).  The only intentional
-difference: the power-iteration start vector is a deterministic on-chip
-hash sequence instead of a host PRNG draw (both valid; results agree to
-solver tolerance, which the tests assert).
+padding masks, pure-padding rows zeroed).  The relative-ridge top
+eigenvalues are computed OUTSIDE the kernel — supplied by the caller or
+by the wrapper's fleet-wide batched XLA power iteration; an in-kernel
+variant was deleted after measuring 0.38x XLA (it serialised the
+latency-bound matvecs over only the tile's k member chains).
 
 Reference hot loop this replaces: `distributed_shampoo.py:836-848`
 (Newton iteration) + `:702-940` (guards).
@@ -60,6 +61,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from precondition_tpu.ops import pth_root
 from precondition_tpu.ops.pth_root import RootMetrics
 
 Array = jax.Array
@@ -124,53 +126,8 @@ def _any(mask):
   return jnp.max(mask.astype(jnp.float32)) > 0.0
 
 
-def _hash_vector(k, m):
-  """Deterministic pseudo-random start vectors in [-0.5, 0.5), [k,m,1]."""
-  idx = lax.broadcasted_iota(jnp.int32, (k, m, 1), 1)
-  tile = lax.broadcasted_iota(jnp.int32, (k, m, 1), 0)
-  h = ((idx + tile * 7919) * jnp.int32(-1640531535)) ^ jnp.int32(0x1E3779B9)
-  # int32 -> [-0.5, 0.5) without float bit tricks (Mosaic lacks u32->f32).
-  return jnp.abs(h % 65536).astype(jnp.float32) / 65536.0 - 0.5
-
-
-def _power_iteration(mat, row_mask, num_iters=100, tol=1e-6):
-  """Top eigenvalue per matrix via batched matvec power iteration.
-
-  mat: [k,m,m] (already padding-masked); row_mask: [k,m,1].
-  Returns [k,1,1].
-
-  The exit tolerance is *relative* to the current estimate: the
-  eigenvalue only scales the ridge, so chasing 1e-6 absolute on a
-  spectrum of O(10-100) burns ~100 sequential latency-bound matvecs for
-  a ridge shift that changes the root below solver tolerance.
-  """
-  k, m, _ = mat.shape
-  v0 = _hash_vector(k, m) * row_mask
-
-  def cond(state):
-    i, _, _, run = state
-    return jnp.logical_and(i < num_iters, run)
-
-  def body(state):
-    i, v, ev, _ = state
-    norm = jnp.sqrt(_rowsum2(v * v))
-    v = v / jnp.maximum(norm, 1e-30)
-    mv = lax.dot_general(
-        mat, v, (((2,), (1,)), ((0,), (0,))),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    ev_new = _rowsum2(v * mv)
-    run = _any(jnp.abs(ev_new - ev)
-               > tol * jnp.maximum(jnp.abs(ev_new), 1.0))
-    return i + 1, mv, ev_new, run
-
-  _, _, ev, _ = lax.while_loop(
-      cond, body, (0, v0, jnp.zeros((k, 1, 1), jnp.float32), True))
-  return ev
-
-
 def _kernel(pads_ref, maxevs_in_ref, stats_ref, *rest, p, k, m, warm,
-            have_maxev, num_iters, ridge_epsilon, error_tolerance,
+            num_iters, ridge_epsilon, error_tolerance,
             relative_matrix_epsilon, warm_error_threshold, retry_threshold,
             num_tries, max_error_ratio):
   if warm:
@@ -194,20 +151,18 @@ def _kernel(pads_ref, maxevs_in_ref, stats_ref, *rest, p, k, m, warm,
   valid = ((rows < pads) & (cols < pads)).astype(jnp.float32)
   eye = jnp.where((rows == cols) & (rows < pads), 1.0, 0.0).astype(
       jnp.float32)
-  row_mask = (lax.broadcasted_iota(jnp.int32, (k, m, 1), 1)
-              < pads).astype(jnp.float32)
 
   mat = stats_ref[...].astype(jnp.float32) * valid
 
-  if have_maxev:
-    # Externally supplied top eigenvalues (one batched XLA power iteration
-    # over the WHOLE fleet pipelines its latency-bound matvecs; the
-    # in-kernel variant below serialises them over only k member chains).
+  if relative_matrix_epsilon:
+    # Externally supplied top eigenvalues (the wrapper computes them with
+    # one batched XLA power iteration over the WHOLE fleet when the
+    # caller doesn't; an in-kernel variant existed and was deleted — it
+    # serialised the latency-bound matvecs over only k member chains and
+    # measured 0.38x XLA).
     max_ev = jnp.zeros((k, 1, 1), jnp.float32)
     for j in range(k):
       max_ev = jnp.where(tile_idx == j, maxevs_in_ref[g * k + j], max_ev)
-  elif relative_matrix_epsilon:
-    max_ev = _power_iteration(mat, row_mask)
   else:
     max_ev = jnp.ones((k, 1, 1), jnp.float32)
   ridge = ridge_epsilon * jnp.maximum(max_ev, 1e-25)
@@ -374,11 +329,12 @@ def batched_inverse_pth_root_pallas(
     prevs: optional ``[N, m, m]`` previous roots for certified warm
       starts (`reuse_preconditioner`).
     max_evs: optional ``[N]`` externally computed top eigenvalues for the
-      relative ridge.  Supplying them (one batched XLA power iteration
-      over the whole fleet) removes the kernel's dominant latency-bound
-      phase: the in-kernel power iteration serialises up to ~100 matvecs
-      over only ``k`` member chains, while the fleet-wide XLA batch
-      pipelines all N.  Ignored when ``relative_matrix_epsilon=False``.
+      relative ridge.  When omitted, the wrapper computes them with one
+      fleet-wide batched XLA power iteration before the kernel launch —
+      all N latency-bound matvec chains pipeline through the MXU.  (An
+      in-kernel power iteration existed and was deleted: it serialised
+      the matvecs over only the tile's ``k`` member chains and measured
+      0.38x XLA.)  Ignored when ``relative_matrix_epsilon=False``.
     interpret: run the kernel in the Pallas interpreter (CPU CI).
 
   Returns:
@@ -391,8 +347,22 @@ def batched_inverse_pth_root_pallas(
   if padding_starts is None:
     padding_starts = jnp.full((n,), m, jnp.int32)
 
-  have_maxev = max_evs is not None and relative_matrix_epsilon
-  if not have_maxev:
+  # Warm starts need an even exponent (C = prev^{p/2}); odd p falls back
+  # to a cold solve, mirroring `matrix_inverse_pth_root`.  Decide BEFORE
+  # the eigenvalue fallback below: its exit tolerance is warmth-dependent.
+  if prevs is not None and p % 2:
+    prevs = None
+
+  if relative_matrix_epsilon and max_evs is None:
+    # Warm re-solves take the loose 1% exit — the estimate only scales
+    # the ridge and the warm certificate gates quality (same policy as
+    # `optim/shampoo._solve_batched`).
+    pi_tol = 1e-2 if prevs is not None else 1e-6
+    max_evs = jax.vmap(
+        lambda s, d: pth_root.power_iteration(
+            s, padding_start=d, error_tolerance=pi_tol,
+            relative_tolerance=True)[1])(stats, padding_starts)
+  if max_evs is None:
     max_evs = jnp.zeros((n,), jnp.float32)
   k = tile_for(m, warm=prevs is not None)
   pad_n = (-n) % k
@@ -407,14 +377,9 @@ def batched_inverse_pth_root_pallas(
       prevs = jnp.concatenate([prevs, filler.astype(prevs.dtype)], axis=0)
   total = n + pad_n
   warm = prevs is not None
-  # Warm starts need an even exponent (C = prev^{p/2}); odd p falls back
-  # to a cold solve, mirroring `matrix_inverse_pth_root`.
-  if warm and p % 2:
-    warm = False
-    prevs = None
 
   kernel = functools.partial(
-      _kernel, p=p, k=k, m=m, warm=warm, have_maxev=have_maxev,
+      _kernel, p=p, k=k, m=m, warm=warm,
       num_iters=num_iters,
       ridge_epsilon=ridge_epsilon, error_tolerance=error_tolerance,
       relative_matrix_epsilon=relative_matrix_epsilon,
