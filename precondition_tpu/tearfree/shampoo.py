@@ -53,6 +53,19 @@ class Options:
       ``(w + 1e-6 * lambda_max)^{-1/p}`` rather than zero, i.e. the
       ridge inverse-root the flagship optimizer uses everywhere.  The
       two agree wherever the spectrum is numerically full-rank.
+
+      The default stays ``"eigh"`` as a MEASURED decision, not just for
+      upstream parity: on an 800-step byte-LM trajectory (the repo
+      transformer on the committed fixture corpora, 2 seeds per backend,
+      `benchmarks/tearfree_backend_trajectory.py`,
+      `TEARFREE_BACKEND_TRAJ.json`) the newton backend's tail loss sat
+      5.1x seed-noise above eigh's (mean tail gap 0.125 vs 0.024 noise):
+      the ridge root's ~eps^{-1/p} weighting of near-null directions
+      (~30x at p=4, eps=1e-6) measurably degrades early-training update
+      quality, where eigh's zero-clip ignores them.  Opt into
+      ``"newton"`` when the solve dominates the step and the
+      preconditioning interval or a later ``start_preconditioning_step``
+      keeps rank-deficient covariances out of the solve.
   """
 
   block_size: int = 1024
