@@ -198,35 +198,51 @@ class UnigramTokenizer:
 
 
 class SentencePieceTokenizer:
-  """Adapter over the real ``sentencepiece`` package (when installed).
+  """Loads a production SentencePiece ``.model`` file.
 
-  Drops a production ``.model`` file (e.g. Gemma's tokenizer) into the
-  same builder contract.  Import is gated: environments without the
-  package get a clear error instead of a hard dependency.
+  Uses the real ``sentencepiece`` package when installed; otherwise falls
+  back to the pure-Python ModelProto reader + native unigram Viterbi
+  inference in `spm_model` — so a production ``.model`` (e.g. Gemma's
+  tokenizer, reference:
+  `datamix_gemma/tokenizers/gemma_tokenizer.py`) drops into the same
+  builder contract with no extra dependency.  Set ``native=True`` to
+  force the fallback (tests pin both paths to the same ids where both
+  are available).
   """
 
-  def __init__(self, model_path: str):
-    try:
-      import sentencepiece as spm  # pytype: disable=import-error
-    except ImportError as e:  # pragma: no cover - exercised w/o package
-      raise ImportError(
-          "sentencepiece is not installed; `pip install sentencepiece` "
-          "or use UnigramTokenizer (same algorithm family, offline-"
-          "trainable)") from e
-    self._sp = spm.SentencePieceProcessor(model_file=model_path)
+  def __init__(self, model_path: str, native: bool = False):
+    self._sp = None
+    if not native:
+      try:
+        import sentencepiece as spm  # pytype: disable=import-error
+
+        self._sp = spm.SentencePieceProcessor(model_file=model_path)
+      except ImportError:
+        pass
+    if self._sp is None:
+      from precondition_tpu.datamix import spm_model
+
+      self._native = spm_model.NativeUnigramEncoder(
+          spm_model.load_model(model_path))
 
   @property
   def vocab_size(self) -> int:
-    return self._sp.vocab_size()
+    if self._sp is not None:
+      return self._sp.vocab_size()
+    return self._native.model.vocab_size
 
   def encode(self, text: str, add_bos: bool = False,
              add_eos: bool = False) -> List[int]:
-    return self._sp.encode(text, add_bos=add_bos, add_eos=add_eos)
+    if self._sp is not None:
+      return self._sp.encode(text, add_bos=add_bos, add_eos=add_eos)
+    return self._native.encode(text, add_bos=add_bos, add_eos=add_eos)
 
   __call__ = encode
 
   def decode(self, ids: Sequence[int]) -> str:
-    return self._sp.decode(list(ids))
+    if self._sp is not None:
+      return self._sp.decode(list(ids))
+    return self._native.decode(list(ids))
 
 
 def train_from_manifests(manifest_dir: str, names: Sequence[str],
