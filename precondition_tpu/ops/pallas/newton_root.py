@@ -318,6 +318,7 @@ def batched_inverse_pth_root_pallas(
     num_tries: int = 6,
     max_error_ratio: float = 1.2,
     interpret: bool = False,
+    tile_k: Optional[int] = None,
 ) -> Tuple[Array, RootMetrics]:
   """Drop-in fused replacement for `pth_root.batched_inverse_pth_root`.
 
@@ -336,6 +337,9 @@ def batched_inverse_pth_root_pallas(
       the matvecs over only the tile's ``k`` member chains and measured
       0.38x XLA.)  Ignored when ``relative_matrix_epsilon=False``.
     interpret: run the kernel in the Pallas interpreter (CPU CI).
+    tile_k: override the matrices-per-grid-step tile size (default:
+      ``tile_for(m, warm)``).  Benchmarking knob — the default is the
+      measured production choice (see DESIGN.md's tile-size breakdown).
 
   Returns:
     ``(roots [N, m, m], RootMetrics with [N] leaves)``.
@@ -364,7 +368,7 @@ def batched_inverse_pth_root_pallas(
             relative_tolerance=True)[1])(stats, padding_starts)
   if max_evs is None:
     max_evs = jnp.zeros((n,), jnp.float32)
-  k = tile_for(m, warm=prevs is not None)
+  k = tile_k or tile_for(m, warm=prevs is not None)
   pad_n = (-n) % k
   if pad_n:
     filler = jnp.broadcast_to(jnp.eye(m, dtype=stats.dtype),

@@ -106,6 +106,19 @@ class TestNewtonRootKernel:
     roots_x, _ = pth_root.batched_inverse_pth_root(stats, 4, pads)
     np.testing.assert_allclose(roots, roots_x, rtol=1e-3, atol=1e-5)
 
+  def test_tile_k_override_matches_default(self):
+    """tile_k is a perf knob only: results identical across tile sizes."""
+    rng = np.random.RandomState(5)
+    n, m = 6, 16
+    stats = _psd_batch(rng, n, m)
+    pads = jnp.full((n,), m, jnp.int32)
+    base, _ = newton_root.batched_inverse_pth_root_pallas(
+        stats, 4, pads, interpret=True)
+    for k in (2, 3, 16):
+      alt, _ = newton_root.batched_inverse_pth_root_pallas(
+          stats, 4, pads, interpret=True, tile_k=k)
+      np.testing.assert_allclose(alt, base, rtol=1e-5, atol=1e-7)
+
   def test_padding_masks(self):
     """Mixed valid sizes, including a pure-padding member."""
     rng = np.random.RandomState(2)
