@@ -7,7 +7,7 @@ is available (TPU under the driver).  The same fixture is run through
 google-research/precondition's `distributed_shampoo` as the baseline;
 ``vs_baseline`` is the speedup (baseline_time / our_time, >1 = faster).
 
-Two configurations:
+Configurations:
   * headline: preconditioning every step (the hardest case; showcases the
     solver path end-to-end);
   * steady-state: ``preconditioning_compute_steps=10`` with warm-started
@@ -16,15 +16,28 @@ Two configurations:
     at 10-100 step solve intervals (reference guidance:
     `distributed_shampoo.py:1917-1928`).
 
-Budget discipline (the round-2 artifact was lost to an external timeout):
-every JAX call that can block — compiles above all; the fixture's programs
-cost ~20 min of XLA compile through the TPU tunnel when the persistent
-compile cache is cold — runs on a worker thread while the main thread
-enforces ``BENCH_DEADLINE`` seconds (default 840).  Results are recorded
+Budget discipline — the rounds 2 and 3 driver artifacts were both lost to
+cold-cache XLA compiles (one full-fixture program costs ~13-25 min through
+the remote-TPU tunnel; the driver deadline is 840 s), and a rehearsal of
+an "overlap the compiles" design starved anyway: the PJRT server
+SERIALIZES compiles and blocks other RPCs behind them (five concurrent
+full-fixture compiles completed at cumulative 753/1472/1796/2528/3305 s).
+So the harness runs in strict priority order with nothing ever queued
+behind a compile the current phase does not need:
+
+  1. Compile + measure the REDUCED fixture pair (persistent-cache hits in
+     seconds when warm; ~4 min of serialized server compile cold) and
+     emit it as the headline (``fixture: "reduced"``) — the artifact now
+     cannot be null.
+  2. Only then submit the FULL fixture pair; if it lands (instant when
+     warm, impossible cold) measure it and upgrade the headline
+     (``fixture: "full"``; the reduced numbers move to ``reduced_*``).
+  3. Optional steady-state / warm-start phases afterwards.
+
+Every blocking step runs behind a deadline guard; results are recorded
 incrementally; on deadline or SIGTERM the best-known partial result is
-printed and the process exits.  Phases run in strict priority order
-(headline pair, steady-state pair, optional warm-start lever) so a
-truncated run still lands the headline.
+printed.  `benchmarks/warm_bench_cache.py --verify` asserts (as the last
+TPU act of a round) that every program here is a warm cache hit.
 
 Prints exactly one JSON line.
 """
@@ -42,16 +55,22 @@ import numpy as np
 import jax
 
 # Persist compiled executables across runs: the fixture's programs (ours +
-# the upstream baseline's traced-exponent while_loops) cost ~20 min of XLA
-# compile through the TPU tunnel but milliseconds to reload from cache.
+# the upstream baseline's traced-exponent while_loops) cost ~15-25 min of
+# XLA compile through the TPU tunnel but seconds to reload from cache.
 # The cache directory persists in the workspace (gitignored — entries are
-# hundreds of MB and keyed to the exact jax build) so a driver bench after
-# a validation run starts warm; it is NOT load-bearing: the deadline
-# machinery below keeps a cold run inside the budget by truncating phases.
+# tens of MB and keyed to the exact jax build) so a driver bench after a
+# validation run starts warm; it is NOT load-bearing: the reduced-fixture
+# path below keeps a cold run inside the budget.
 if not os.environ.get("BENCH_NO_COMPILE_CACHE"):
   os.makedirs("/root/repo/.jax_cache", exist_ok=True)
   jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
   jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# The ambient TPU environment's sitecustomize registers the axon plugin
+# in every interpreter; an explicit JAX_PLATFORMS=cpu (CI, tunnel outage)
+# only wins if ALSO pinned through jax.config after import.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+  jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 
@@ -85,11 +104,12 @@ def _on_term(signum, frame):
 
 
 # Installed from main(), NOT at import: other tools (benchmarks/
-# profile_step.py) import this module for the fixture/hypers, and an
-# import-time handler would hijack THEIR shutdown — observed: a timeout's
-# SIGTERM to profile_step printed bench's JSON line and exited 0, masking
-# the timeout.
+# profile_step.py, warm_bench_cache.py) import this module for the
+# fixture/hypers, and an import-time handler would hijack THEIR shutdown.
 _POOL = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+# Separate pool for AOT compiles so a stuck compile can never block the
+# serialized guarded steps (and vice versa).
+_COMPILE_POOL = concurrent.futures.ThreadPoolExecutor(max_workers=8)
 
 
 def _install_budget_handlers():
@@ -117,13 +137,22 @@ def _guarded(label, fn, *args):
 def _param_tree(rng, small=False):
   """Transformer-ish tree: ~58.7M params, mixes blocked and small tensors.
 
-  ``small`` (~2M params) is the CPU-fallback fixture: the upstream
+  ``small`` (~2M params) is the reduced fixture: same block size, same
+  tensor roles (embedding, attention, FFN, norm), every matrix still
+  blocked at 128 — so the per-step program exercises the same code paths
+  — but with a block census whose XLA compile measurably fits the driver
+  budget cold.  It doubles as the CPU-fallback fixture: the upstream
   baseline's lowered program at full size is too large for LLVM's CPU
   backend (observed: thousands of 'LLVM compilation error: Cannot
   allocate memory' despite >100 GB free).
   """
-  d, ff, vocab, layers = ((256, 1024, 2048, 2) if small
-                          else (1024, 4096, 8192, 4))
+  if os.environ.get("BENCH_TEST_TINY_FIXTURE"):
+    # CI hook (tests/test_bench_harness.py): shrink both fixtures so the
+    # warm/cold dispatch logic can be driven end-to-end on CPU in seconds.
+    d, ff, vocab, layers = (8, 16, 32, 1) if small else (16, 32, 64, 1)
+  else:
+    d, ff, vocab, layers = ((256, 1024, 2048, 2) if small
+                            else (1024, 4096, 8192, 4))
   tree = {"embed": jnp.asarray(rng.randn(vocab, d) * 0.02, jnp.float32)}
   for i in range(layers):
     tree[f"blk{i}"] = {
@@ -147,7 +176,39 @@ HYPERS = dict(
 )
 
 
+_IMPORT_LOCK = threading.Lock()
+
+
+def _ensure_packages_imported():
+  """Serialize the first full package inits across worker threads.
+
+  ``precondition_tpu/__init__`` imports ``optim.shampoo``;  importing
+  ``ops.pallas.newton_root`` initializes the same package.  When two
+  worker threads perform these first-imports concurrently one can
+  observe the other's partially initialized module and raise (observed
+  in a TPU rehearsal: the Pallas probe's "circular import" ImportError
+  flipped a healthy run onto the XLA solver path).  One serial init
+  under a lock makes every later threaded import a sys.modules hit.
+  The upstream package has the same ``__init__`` -> submodule shape, so
+  it is pre-imported here too.
+  """
+  with _IMPORT_LOCK:
+    import precondition_tpu  # noqa: F401
+    from precondition_tpu.ops.pallas import newton_root  # noqa: F401
+
+    ref_path = "/root/reference"
+    if os.path.isdir(ref_path):
+      if ref_path not in sys.path:
+        sys.path.append(ref_path)
+      sys.dont_write_bytecode = True
+      try:
+        import precondition  # noqa: F401
+      except ImportError:
+        pass
+
+
 def make_ours(solver_backend="auto", **kw):
+  _ensure_packages_imported()
   from precondition_tpu.optim import shampoo as ours
 
   return ours.distributed_shampoo(
@@ -156,10 +217,7 @@ def make_ours(solver_backend="auto", **kw):
 
 
 def make_baseline(**kw):
-  ref_path = "/root/reference"
-  if os.path.isdir(ref_path) and ref_path not in sys.path:
-    sys.path.append(ref_path)
-  sys.dont_write_bytecode = True
+  _ensure_packages_imported()
   from precondition import distributed_shampoo as ref
 
   return ref.distributed_shampoo(
@@ -178,34 +236,6 @@ CANDIDATE_TXS = {
     "ours_warmstart": lambda sb: make_ours(
         sb, preconditioning_compute_steps=1, reuse_preconditioner=True),
 }
-
-
-def _prewarm_compiles(solver_backend):
-  """Start AOT compiles of every candidate program on daemon threads.
-
-  Cold-cache protection: each candidate's program costs ~15-25 min of XLA
-  compile through the TPU tunnel, and the phases would otherwise pay them
-  *serially* inside their prepare steps.  The compiles execute on the
-  PJRT server, so firing all five up front overlaps them: a cold run pays
-  ~max(compile) instead of the sum, and every finished compile lands in
-  the persistent cache for the phase (or the next bench run) to reuse.
-  Shapes come from `eval_shape`, so prewarm moves no data to the device;
-  with a warm cache each thread is a cache hit in milliseconds.
-  """
-  def _one(name):
-    try:
-      tx = CANDIDATE_TXS[name](solver_backend)
-      rng = np.random.RandomState(0)
-      shapes = jax.eval_shape(lambda: _param_tree(rng))
-      state = jax.eval_shape(tx.init, shapes)
-      # k=8 is a concrete python int so it traces exactly like the
-      # measurement call sites (weak-typed i32 -> identical cache key).
-      _steps_program(tx).lower(state, 8, shapes, shapes).compile()
-    except Exception:
-      pass  # a failed prewarm only forfeits the overlap
-
-  for name in CANDIDATE_TXS:
-    threading.Thread(target=_one, args=(name,), daemon=True).start()
 
 
 def _fence(x) -> None:
@@ -242,6 +272,87 @@ def _steps_program(tx):
   return jax.jit(run)
 
 
+def _init_program(tx):
+  """Jitted optimizer init: one compiled program instead of hundreds of
+  eager per-block ops, each a tunnel round trip."""
+  return jax.jit(tx.init)
+
+
+def aot_compile(name, solver_backend, small):
+  """Trace + AOT-compile one candidate's init and k-step programs.
+
+  `eval_shape` keeps it device-data-free; the compiles execute on the
+  PJRT server and land in the persistent cache, so the later
+  `_Candidate` prepare (and any future bench run) is a cache hit, not a
+  second server compile.  Shared by bench.py's compile futures and
+  benchmarks/warm_bench_cache.py (identical jaxprs -> identical keys).
+
+  Returns the transform so the caller reuses the exact instance.
+  """
+  if os.environ.get("BENCH_TEST_SLOW_COMPILE") == "full" and not small:
+    # CI hook: simulate a cold-cache full-fixture compile that cannot
+    # finish inside the driver budget (the round-2/3 failure mode).
+    time.sleep(10_000)
+  tx = CANDIDATE_TXS[name](solver_backend)
+  rng = np.random.RandomState(0)
+  shapes = jax.eval_shape(lambda: _param_tree(rng, small=small))
+  state_shapes = jax.eval_shape(tx.init, shapes)
+  _init_program(tx).lower(shapes).compile()
+  # k=8 is a concrete python int so it traces exactly like the
+  # measurement call sites (weak-typed i32 -> identical cache key).
+  _steps_program(tx).lower(state_shapes, 8, shapes, shapes).compile()
+  return tx
+
+
+class _CompileFleet:
+  """Background AOT compiles of candidate programs, one future each.
+
+  Futures are keyed ``(name, small)``.  Failures are recorded into the
+  artifact (`compile_errors`) instead of being swallowed: a
+  systematically broken compile (e.g. baseline import error) must leave
+  a trace.
+  """
+
+  def __init__(self, solver_backend):
+    self.solver_backend = solver_backend
+    self.futures = {}
+
+  def submit(self, name, small):
+    key = (name, small)
+    if key not in self.futures:
+      self.futures[key] = _COMPILE_POOL.submit(
+          aot_compile, name, self.solver_backend, small)
+    return self.futures[key]
+
+  def wait(self, keys, timeout):
+    """Wait up to `timeout` for `keys`; returns {key: ok|failed|pending}.
+
+    A 'failed' compile is terminal (waiting longer cannot help) and its
+    error is recorded into the artifact; 'pending' may still land.
+    """
+    futs = [self.futures[k] for k in keys]
+    concurrent.futures.wait(futs, timeout=max(timeout, 0.0))
+    status = {}
+    for key, fut in zip(keys, futs):
+      if not fut.done():
+        status[key] = "pending"
+      elif fut.exception() is not None:
+        status[key] = "failed"
+        _RESULT.setdefault("compile_errors", {})[
+            f"{key[0]}{':reduced' if key[1] else ''}"] = repr(
+                fut.exception())[:200]
+      else:
+        status[key] = "ok"
+    return status
+
+  def ready(self, key):
+    fut = self.futures.get(key)
+    return fut is not None and fut.done() and fut.exception() is None
+
+  def result(self, key):
+    return self.futures[key].result()
+
+
 class _Candidate:
   """A compiled optimizer-step program plus its settled state."""
 
@@ -249,7 +360,7 @@ class _Candidate:
     self.name = name
     self.params, self.grads = params, grads
     self.run = _steps_program(tx)
-    state = self.run(tx.init(params), settle_steps, grads, params)
+    state = self.run(_init_program(tx)(params), settle_steps, grads, params)
     _fence(state)
     self.state = state
 
@@ -285,6 +396,49 @@ def _measure_pair(candidates, iters, rounds, record):
   return best
 
 
+def _prepare_pair(fleet, fixture_small, params, grads, settle_steps, tag=""):
+  """Build settled ours/baseline candidates from finished compile futures."""
+  pair = [_guarded(
+      f"prepare:ours{tag}",
+      lambda: _Candidate("ours", fleet.result(("ours", fixture_small)),
+                         params, grads, settle_steps))]
+  if fleet.ready(("baseline", fixture_small)):
+    pair.append(_guarded(
+        f"prepare:baseline{tag}",
+        lambda: _Candidate("baseline",
+                           fleet.result(("baseline", fixture_small)),
+                           params, grads, settle_steps)))
+  return pair
+
+
+def _measure_headline(fleet, small, params, grads, iters, rounds, reduced):
+  """Phase 1 on one fixture; records value/vs_baseline (or reduced_*)."""
+  pair = _prepare_pair(fleet, small, params, grads, settle_steps=3,
+                       tag=":reduced" if reduced else "")
+
+  def _record(best):
+    if reduced:
+      _RESULT["metric"] = "shampoo_step_time_2M_block128_reduced"
+      _RESULT["fixture"] = "reduced"
+    else:
+      _RESULT["metric"] = "shampoo_step_time_58M_block128"
+      _RESULT["fixture"] = "full"
+      if _RESULT.get("value") is not None and "reduced_ms" not in _RESULT:
+        # Promote earlier reduced numbers out of the headline keys.
+        _RESULT["reduced_ms"] = _RESULT["value"]
+        if _RESULT.get("vs_baseline") is not None:
+          _RESULT["reduced_vs_baseline"] = _RESULT["vs_baseline"]
+          _RESULT["vs_baseline"] = None
+    _RESULT["value"] = round(best["ours"] * 1e3, 3)
+    if "baseline" in best and np.isfinite(best["baseline"]):
+      _RESULT["baseline_ms"] = round(best["baseline"] * 1e3, 3)
+      _RESULT["vs_baseline"] = round(best["baseline"] / best["ours"], 3)
+    elif reduced:
+      _RESULT["vs_baseline"] = None
+
+  _measure_pair(pair, iters, rounds, _record)
+
+
 def main():
   _install_budget_handlers()
   # If the ambient TPU plugin's backend cannot initialize (tunnel outage),
@@ -299,35 +453,22 @@ def main():
       return jax.devices()[0].platform
 
   platform = _guarded("device_probe", _probe_platform)
-  cpu = platform == "cpu"
+  # The tiny CI fixture drives the full TPU-path dispatch logic on CPU.
+  cpu = platform == "cpu" and not os.environ.get("BENCH_TEST_TINY_FIXTURE")
 
-  rng = np.random.RandomState(0)
-  params = _param_tree(rng, small=cpu)
-  grads = jax.tree.map(
-      lambda p: jnp.asarray(rng.randn(*p.shape) * 0.01, jnp.float32), params)
-
-  # Probe-compile the fused Pallas solver on a tiny batch before trusting
-  # it for the headline: a Mosaic lowering regression would otherwise
-  # fail the whole artifact, and the XLA path is a correct (slower)
-  # stand-in.
-  solver_backend = "auto"
-  if platform == "tpu":
-    def _probe_pallas():
-      from precondition_tpu.ops.pallas import newton_root
-
-      probe = jnp.eye(128, dtype=jnp.float32)[None] * 2.0
-      jax.jit(lambda s: newton_root.batched_inverse_pth_root_pallas(
-          s, 4, jnp.full((1,), 128, jnp.int32)))(probe)[0].block_until_ready()
-    try:
-      _guarded("pallas_probe", _probe_pallas)
-    except Exception:
-      solver_backend = "xla"
+  def _fixture(small):
+    rng = np.random.RandomState(0)
+    params = _param_tree(rng, small=small)
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.01, jnp.float32),
+        params)
+    return params, grads
 
   _RESULT.update({
-      # Renamed from r01's "...17M..." (the tree is 58.7M params) and
-      # re-measured with the in-program loop harness: r01's 62.974 ms was
-      # tunnel enqueue rate, not chip time — values are not comparable
-      # across rounds; `vs_baseline` (same-harness, interleaved) is.
+      # r01's "...17M..." name was a misnomer (the tree is 58.7M params)
+      # and its 62.974 ms was tunnel enqueue rate, not chip time — values
+      # are not comparable across rounds; `vs_baseline` (same-harness,
+      # interleaved) is.
       "metric": ("shampoo_step_time_2M_block128_cpufallback" if cpu
                  else "shampoo_step_time_58M_block128"),
       "value": None,
@@ -337,116 +478,183 @@ def main():
       "deadline_s": _DEADLINE_S,
   })
 
-  def _make_ours(**kw):
-    return make_ours(solver_backend, **kw)
+  # ---- CPU fallback: single reduced pair, measured directly. ------------
+  if cpu:
+    fleet = _CompileFleet("auto")
+    fleet.submit("ours", True)
+    fleet.submit("baseline", True)
+    fleet.wait([("ours", True), ("baseline", True)],
+               timeout=_remaining() - _FINALIZE_MARGIN_S - 60.0)
+    _RESULT["fixture"] = "cpu_reduced"
+    params, grads = _fixture(True)
+    pair = _prepare_pair(fleet, True, params, grads, settle_steps=3)
 
-  def _make_baseline(**kw):
-    return make_baseline(**kw)
+    def _rec(best):
+      _RESULT["value"] = round(best["ours"] * 1e3, 3)
+      if "baseline" in best and np.isfinite(best["baseline"]):
+        _RESULT["baseline_ms"] = round(best["baseline"] * 1e3, 3)
+        _RESULT["vs_baseline"] = round(best["baseline"] / best["ours"], 3)
 
-  # Overlap all five candidate compiles from the start (no-op when warm).
-  # TPU only: prewarm uses the full-size fixture, whose lowered programs
-  # the LLVM CPU backend cannot even allocate (see `_param_tree`).
-  if not cpu:
-    _prewarm_compiles(solver_backend)
+    _measure_pair(pair, 3, 2, _rec)
+    _attach_recorded_breakdown()
+    _finalize(0)
 
-  # CPU fallback: fewer in-program iterations/rounds so the run finishes
-  # within the budget (the relative comparison stays fair).
-  head_iters, head_rounds = (3, 2) if cpu else (8, 4)
+  # ---- TPU path: strict priority order. ----------------------------------
+  # The PJRT server SERIALIZES compiles and blocks other RPCs (executable
+  # loads, even device ops) behind an in-flight compile (measured: five
+  # concurrent full-fixture "overlapped" compiles completed at cumulative
+  # 753/1472/1796/2528/3305 s — pure FIFO; and a bench rehearsal starved
+  # its reduced-fixture prepare behind the full compiles until the
+  # deadline).  So nothing may ever be queued behind a compile the
+  # current phase does not need:
+  #   1. compile + measure the REDUCED pair (seconds when warm, ~4 min
+  #      cold) -> the headline is now secured;
+  #   2. only then submit the FULL pair; upgrade if it lands (instant
+  #      when the persistent cache is warm, impossible cold — one full
+  #      program is ~13 min of serialized server compile);
+  #   3. optional steady/warm-start phases only after that.
+  def _mark(label):
+    _RESULT.setdefault("timeline_s", {})[label] = round(
+        time.monotonic() - _T0, 1)
 
-  # ---- Phase 1: headline pair (solve every step, cold solver path). ----
-  # Metrics are off on both sides for an apples-to-apples comparison.
-  pair = [_guarded(
-      "prepare:ours",
-      lambda: _Candidate("ours", _make_ours(preconditioning_compute_steps=1),
-                         params, grads, settle_steps=3))]
-  try:
-    baseline_tx = _make_baseline(preconditioning_compute_steps=1)
-  except Exception:
-    baseline_tx = None
-  if baseline_tx is not None:
-    pair.append(_guarded(
-        "prepare:baseline",
-        lambda: _Candidate("baseline", baseline_tx, params, grads,
-                           settle_steps=3)))
+  fleet = _CompileFleet("auto")
 
-  def _record_headline(best):
-    _RESULT["value"] = round(best["ours"] * 1e3, 3)
-    if "baseline" in best and np.isfinite(best["baseline"]):
-      _RESULT["baseline_ms"] = round(best["baseline"] * 1e3, 3)
-      _RESULT["vs_baseline"] = round(best["baseline"] / best["ours"], 3)
+  def _probe_pallas():
+    _ensure_packages_imported()
+    from precondition_tpu.ops.pallas import newton_root
 
-  _measure_pair(pair, head_iters, head_rounds, _record_headline)
+    probe = jnp.eye(128, dtype=jnp.float32)[None] * 2.0
+    jax.jit(lambda s: newton_root.batched_inverse_pth_root_pallas(
+        s, 4, jnp.full((1,), 128, jnp.int32)))(probe)[0].block_until_ready()
+
+  probe_fut = _COMPILE_POOL.submit(_probe_pallas)
+  red_keys = [("ours", True), ("baseline", True)]
+  for name, small in red_keys:
+    fleet.submit(name, small)
+
+  def _pair_ready(status, small):
+    # Ours compiled ok and baseline settled either way (a *failed*
+    # baseline compile is terminal — measure ours alone).
+    return (status[("ours", small)] == "ok"
+            and status[("baseline", small)] != "pending")
+
+  status = fleet.wait(
+      red_keys, timeout=_remaining() - _FINALIZE_MARGIN_S - 75.0)
+  _mark("reduced_compiles_done")
+  if probe_fut.done() and probe_fut.exception() is not None:
+    # Pallas broken: rebuild the 'ours' programs on the XLA solver path.
+    _RESULT["pallas_probe_error"] = repr(probe_fut.exception())[:200]
+    fleet = _CompileFleet("xla")
+    for name, small in red_keys:
+      fleet.submit(name, small)
+    status = fleet.wait(
+        red_keys, timeout=_remaining() - _FINALIZE_MARGIN_S - 75.0)
+    _mark("reduced_compiles_done_xla")
+
+  if _pair_ready(status, True):
+    params_red, grads_red = _fixture(True)
+    _measure_headline(fleet, True, params_red, grads_red,
+                      iters=8, rounds=2, reduced=True)
+    _mark("reduced_measured")
+
+  # ---- Full-fixture upgrade: submit only now (see serialization note).
+  head_keys = [("ours", False), ("baseline", False)]
+  warm = False
+  if _remaining() > _FINALIZE_MARGIN_S + 150.0:
+    for name, small in head_keys:
+      fleet.submit(name, small)
+    warm = _pair_ready(fleet.wait(
+        head_keys, timeout=_remaining() - _FINALIZE_MARGIN_S - 110.0), False)
+    _mark("full_compiles_done" if warm else "full_compiles_timeout")
+  _RESULT["cold_cache"] = not warm
+
+  params = grads = None
+  if warm:
+    # Materialized only now: the full tree is ~235 MB through the same
+    # tunnel the compile RPCs ride.
+    params, grads = _fixture(False)
+    _measure_headline(fleet, False, params, grads,
+                      iters=8, rounds=4, reduced=False)
+    _mark("full_measured")
 
   # ---- Phase 2: steady-state pair (solve every 10 steps, warm). --------
   # Window of 10 consecutive counts contains exactly one solve regardless
   # of the settled state's phase, so iters=11 measures the amortized
   # steady-state step honestly.  settle_steps=21 passes >= 2 solve cycles
   # so `reuse_preconditioner` warm starts see genuinely warm roots.
-  steady_iters, steady_rounds = (11, 1) if cpu else (11, 3)
-  if _remaining() > _FINALIZE_MARGIN_S + 30.0:
-    # A failure in an optional phase must not cost the already-recorded
-    # headline: record the error and emit what exists.
+  # Compiles submitted only now: on a warm cache they are instant cache
+  # hits, and on a cold run they would otherwise contend with the
+  # headline's server-side compiles.
+  if warm and _remaining() > _FINALIZE_MARGIN_S + 60.0:
     try:
-      steady = [_guarded(
-          "prepare:ours_steady",
-          lambda: _Candidate(
-              "ours_steady",
-              _make_ours(preconditioning_compute_steps=10,
-                         reuse_preconditioner=True),
-              params, grads, settle_steps=21))]
-      if baseline_tx is not None:
-        steady.append(_guarded(
-            "prepare:baseline_steady",
-            lambda: _Candidate(
-                "baseline_steady",
-                _make_baseline(preconditioning_compute_steps=10),
-                params, grads, settle_steps=21)))
+      steady_keys = [("ours_steady", False), ("baseline_steady", False)]
+      for name, small in steady_keys:
+        fleet.submit(name, small)
+      fleet.wait(steady_keys,
+                 timeout=_remaining() - _FINALIZE_MARGIN_S - 50.0)
+      if fleet.ready(("ours_steady", False)):
+        steady = [_guarded(
+            "prepare:ours_steady",
+            lambda: _Candidate("ours_steady",
+                               fleet.result(("ours_steady", False)),
+                               params, grads, settle_steps=21))]
+        if fleet.ready(("baseline_steady", False)):
+          steady.append(_guarded(
+              "prepare:baseline_steady",
+              lambda: _Candidate("baseline_steady",
+                                 fleet.result(("baseline_steady", False)),
+                                 params, grads, settle_steps=21)))
 
-      def _record_steady(best):
-        _RESULT["steady_ms"] = round(best["ours_steady"] * 1e3, 3)
-        if ("baseline_steady" in best
-            and np.isfinite(best["baseline_steady"])):
-          _RESULT["steady_baseline_ms"] = round(
-              best["baseline_steady"] * 1e3, 3)
-          _RESULT["steady_vs_baseline"] = round(
-              best["baseline_steady"] / best["ours_steady"], 3)
-        _RESULT["steady_note"] = (
-            "preconditioning_compute_steps=10, ours with "
-            "reuse_preconditioner warm re-solves; constant-gradient "
-            "fixture (statistics settle, so warm starts are near best "
-            "case)")
+        def _record_steady(best):
+          _RESULT["steady_ms"] = round(best["ours_steady"] * 1e3, 3)
+          if ("baseline_steady" in best
+              and np.isfinite(best["baseline_steady"])):
+            _RESULT["steady_baseline_ms"] = round(
+                best["baseline_steady"] * 1e3, 3)
+            _RESULT["steady_vs_baseline"] = round(
+                best["baseline_steady"] / best["ours_steady"], 3)
+          _RESULT["steady_note"] = (
+              "preconditioning_compute_steps=10, ours with "
+              "reuse_preconditioner warm re-solves; constant-gradient "
+              "fixture (statistics settle, so warm starts are near best "
+              "case)")
 
-      _measure_pair(steady, steady_iters, steady_rounds, _record_steady)
+        _measure_pair(steady, 11, 3, _record_steady)
     except Exception as e:
       _RESULT["steady_error"] = repr(e)[:300]
 
   # ---- Phase 3 (optional): warm-start lever at solve-every-step. -------
-  # Skipped by default on CPU and when the budget is tight; set
-  # BENCH_WARMSTART=0 to disable outright.
-  if (os.environ.get("BENCH_WARMSTART", "1") != "0" and not cpu
-      and _remaining() > _FINALIZE_MARGIN_S + 30.0):
+  if (os.environ.get("BENCH_WARMSTART", "1") != "0" and warm
+      and _remaining() > _FINALIZE_MARGIN_S + 60.0):
     try:
-      warm = [_guarded(
-          "prepare:ours_warmstart",
-          lambda: _Candidate(
-              "ours_warmstart",
-              _make_ours(preconditioning_compute_steps=1,
-                         reuse_preconditioner=True),
-              params, grads, settle_steps=3))]
+      fleet.submit("ours_warmstart", False)
+      fleet.wait([("ours_warmstart", False)],
+                 timeout=_remaining() - _FINALIZE_MARGIN_S - 40.0)
+      if fleet.ready(("ours_warmstart", False)):
+        warm_pair = [_guarded(
+            "prepare:ours_warmstart",
+            lambda: _Candidate("ours_warmstart",
+                               fleet.result(("ours_warmstart", False)),
+                               params, grads, settle_steps=3))]
 
-      def _record_warm(best):
-        _RESULT["warmstart_bestcase_ms"] = round(
-            best["ours_warmstart"] * 1e3, 3)
-        _RESULT["warmstart_note"] = (
-            "reuse_preconditioner at solve-every-step on the settled "
-            "constant-gradient fixture: statistics barely drift between "
-            "solves, so this is the lever's best case, not a typical "
-            "training speedup")
+        def _record_warm(best):
+          _RESULT["warmstart_bestcase_ms"] = round(
+              best["ours_warmstart"] * 1e3, 3)
+          _RESULT["warmstart_note"] = (
+              "reuse_preconditioner at solve-every-step on the settled "
+              "constant-gradient fixture: statistics barely drift between "
+              "solves, so this is the lever's best case, not a typical "
+              "training speedup")
 
-      _measure_pair(warm, head_iters, max(head_rounds - 2, 1), _record_warm)
+        _measure_pair(warm_pair, 8, 2, _record_warm)
     except Exception as e:
       _RESULT["warmstart_error"] = repr(e)[:300]
 
+  _attach_recorded_breakdown()
+  _finalize(0)
+
+
+def _attach_recorded_breakdown():
   # Per-kernel roofline numbers: measuring them live adds ~15 min of XLA
   # compile through the TPU tunnel, so attach the recorded artifact from
   # `benchmarks/kernel_breakdown.py` (committed after real TPU runs).
@@ -458,7 +666,6 @@ def main():
         _RESULT["breakdown_recorded"] = json.load(f)
   except Exception as e:  # never lose the headline to a breakdown bug
     _RESULT["breakdown_error"] = repr(e)[:200]
-  _finalize(0)
 
 
 if __name__ == "__main__":

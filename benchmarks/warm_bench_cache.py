@@ -1,22 +1,40 @@
-"""Pre-warm the persistent XLA compile cache for bench.py's programs.
+"""Pre-warm and verify the persistent XLA compile cache for bench.py.
 
-Each of bench.py's five candidate programs costs ~15-25 minutes of XLA
-compile through the remote-TPU tunnel when the cache is cold, but
-milliseconds to reload — the round-2 driver benchmark was lost entirely
-to cold compiles.  This tool AOT-compiles (``.lower().compile()``) the
-exact programs bench.py will run, in parallel worker threads (the
+Each of bench.py's full-fixture candidate programs costs ~15-25 minutes
+of XLA compile through the remote-TPU tunnel when the cache is cold, but
+seconds to reload — the round-2 and round-3 driver benchmarks were both
+lost to cold compiles.  This tool AOT-compiles (``.lower().compile()``)
+the exact programs bench.py will run, in parallel worker threads (the
 compiles execute server-side, so they overlap), so a subsequent
 ``python bench.py`` is compile-free.
 
-Programs are built through bench.py's own ``_steps_program`` /
-``_param_tree`` / ``HYPERS`` so the traced jaxprs — and therefore the
-cache keys — are identical to the benchmark's.
+Programs are built through bench.py's own ``aot_compile`` (which wraps
+``_steps_program`` / ``_init_program`` / ``_param_tree`` / ``HYPERS``),
+so the traced jaxprs — and therefore the cache keys — are identical to
+the benchmark's.  Both the full and the reduced (cold-fallback) fixtures
+are warmed, plus the Pallas probe program.
 
-Usage:  python benchmarks/warm_bench_cache.py [ours baseline ours_steady
-        baseline_steady ours_warmstart]   (default: all five)
+``--verify`` re-runs every compile and FAILS (exit 1) unless each one
+returns within ``--verify-budget`` seconds — i.e. it proves the cache is
+warm.  Run it as the LAST TPU act of a round, after which bench.py and
+all traced optimizer code must not change:
+
+    python benchmarks/warm_bench_cache.py            # warm (slow, cold ok)
+    python benchmarks/warm_bench_cache.py --verify   # prove warmth (fast)
+
+Usage:
+    python benchmarks/warm_bench_cache.py [names...] [--reduced-only]
+        [--solver-backend auto|xla] [--also-xla] [--verify]
+        [--verify-budget SECONDS]
+
+Names default to all five candidates.  ``--also-xla`` additionally warms
+the 'ours*' programs built with solver_backend='xla' so bench.py's
+Pallas-probe fallback path is covered too.
 """
 
+import argparse
 import concurrent.futures
+import json
 import os
 import sys
 import time
@@ -24,44 +42,96 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import numpy as np
 
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import jax.numpy as jnp
+
 import bench
 
-CANDIDATES = bench.CANDIDATE_TXS
 
-
-def _warm(name):
+def _warm_candidate(name, solver_backend, small):
   t0 = time.time()
-  tx = CANDIDATES[name]("auto")
-  rng = np.random.RandomState(0)
-  # eval_shape the fixture builder: only avals are needed, and
-  # materializing the 58.7M-param tree would push ~235 MB through the
-  # device tunnel per worker.
-  params_s = jax.eval_shape(lambda: bench._param_tree(rng))
-  grads = params_s
-  state = jax.eval_shape(tx.init, params_s)
-  run = bench._steps_program(tx)
-  # k is passed as a concrete python int so it traces exactly like
-  # bench.py's call sites (weak-typed i32 scalar -> identical cache key).
-  run.lower(state, 8, grads, params_s).compile()
-  print(f"[warm] {name}: compiled in {time.time() - t0:.0f}s", flush=True)
+  bench.aot_compile(name, solver_backend, small)
+  dt = time.time() - t0
+  label = f"{name}[{'reduced' if small else 'full'},{solver_backend}]"
+  print(f"[warm] {label}: compiled in {dt:.0f}s", flush=True)
+  return label, dt
+
+
+def _warm_pallas_probe():
+  t0 = time.time()
+  from precondition_tpu.ops.pallas import newton_root
+
+  probe = jnp.eye(128, dtype=jnp.float32)[None] * 2.0
+  jax.jit(lambda s: newton_root.batched_inverse_pth_root_pallas(
+      s, 4, jnp.full((1,), 128, jnp.int32)))(probe)[0].block_until_ready()
+  dt = time.time() - t0
+  print(f"[warm] pallas_probe: compiled in {dt:.0f}s", flush=True)
+  return "pallas_probe", dt
 
 
 def main():
-  names = sys.argv[1:] or list(CANDIDATES)
-  with concurrent.futures.ThreadPoolExecutor(len(names)) as pool:
-    futs = {pool.submit(_warm, n): n for n in names}
+  ap = argparse.ArgumentParser()
+  ap.add_argument("names", nargs="*", default=None)
+  ap.add_argument("--solver-backend", default="auto",
+                  choices=["auto", "xla"])
+  ap.add_argument("--also-xla", action="store_true",
+                  help="additionally warm ours* with solver_backend='xla' "
+                       "(bench.py's Pallas-probe fallback)")
+  ap.add_argument("--reduced-only", action="store_true")
+  ap.add_argument("--verify", action="store_true",
+                  help="fail unless every compile is a warm cache hit")
+  ap.add_argument("--verify-budget", type=float, default=150.0,
+                  help="per-program wall-clock bound in --verify mode; a "
+                       "warm hit is seconds, a cold compile is 15-25 min")
+  args = ap.parse_args()
+
+  names = args.names or list(bench.CANDIDATE_TXS)
+  jobs = []  # (callable, label)
+  jobs.append((_warm_pallas_probe, "pallas_probe"))
+  for name in names:
+    for small in ((True,) if args.reduced_only else (False, True)):
+      fx = "reduced" if small else "full"
+      jobs.append((
+          lambda n=name, s=small: _warm_candidate(n, args.solver_backend, s),
+          f"{name}[{fx},{args.solver_backend}]"))
+      if args.also_xla and name.startswith("ours"):
+        jobs.append((
+            lambda n=name, s=small: _warm_candidate(n, "xla", s),
+            f"{name}[{fx},xla]"))
+
+  t_start = time.time()
+  timings, failures = {}, {}
+  with concurrent.futures.ThreadPoolExecutor(len(jobs)) as pool:
+    futs = {pool.submit(fn): label for fn, label in jobs}
     for fut in concurrent.futures.as_completed(futs):
-      name = futs[fut]
+      label = futs[fut]
       try:
-        fut.result()
+        _, dt = fut.result()
+        timings[label] = round(dt, 1)
       except Exception as e:
-        print(f"[warm] {name}: FAILED {e!r:.300}", flush=True)
+        failures[label] = repr(e)[:300]
+        print(f"[warm] {label}: FAILED {e!r:.300}", flush=True)
+
+  summary = {
+      "mode": "verify" if args.verify else "warm",
+      "total_s": round(time.time() - t_start, 1),
+      "timings_s": timings,
+      "failures": failures,
+  }
+  if args.verify:
+    # Per-program bound, not just total: parallel threads hide a single
+    # cold compile in the total but not in its own wall-clock.
+    slow = {k: v for k, v in timings.items() if v > args.verify_budget}
+    summary["verify_budget_s"] = args.verify_budget
+    summary["too_slow"] = slow
+    summary["ok"] = not slow and not failures
+    print(json.dumps(summary))
+    sys.exit(0 if summary["ok"] else 1)
+  print(json.dumps(summary))
 
 
 if __name__ == "__main__":
