@@ -15,7 +15,8 @@ the MXU back-to-back.  Convergence control stays per matrix:
   ``active`` mask; converged/diverged members freeze while the rest
   iterate, and the tile's while-loop exits when *all* k members are done.
   A vmapped XLA while_loop pays the max iteration count over the whole
-  [N] batch; here only over k (=8 for the 128-block production shape).
+  [N] batch; here only over k (=4 for the 128-block production shape —
+  the measured sweet spot, see `tile_for`).
 * **Per-matrix retry ladder.**  Only members whose converged error
   exceeds the retry threshold re-solve at the escalated ridge; the
   others' roots are frozen by the same masking.
@@ -45,9 +46,9 @@ latency-bound matvecs over only the tile's k member chains).
 Reference hot loop this replaces: `distributed_shampoo.py:836-848`
 (Newton iteration) + `:702-940` (guards).
 
-VMEM budget: ~12 live [k, m, m] f32 buffers; ``tile_for(m)`` picks k so
-k*m^2 <= 128^2*8, i.e. <= ~6 MB of state.  Use `supported(m)` to gate
-and fall back to the jnp path.
+VMEM budget: ~12 live [k, m, m] f32 buffers; ``tile_for(m)`` picks k
+(cap 4, measured — see its docstring), <= ~3 MB of state at m=128.
+Use `supported(m)` to gate and fall back to the jnp path.
 """
 
 from __future__ import annotations
@@ -77,13 +78,20 @@ def supported(m: int) -> bool:
 def tile_for(m: int, warm: bool = False) -> int:
   """Matrices per grid step: fill the MXU pipeline within VMEM budget.
 
-  Warm solves hold ~2x the live state (prev, C, CMC, CC blocks), so they
-  run half the tile.  The cap is 16 (beyond that the batched dots stop
-  gaining pipeline depth and VMEM pressure limits the block size anyway);
-  at the production m=128 the budget yields k=8 cold / 4 warm.
+  The cap is 4 — a MEASURED choice (benchmarks/pallas_tile_breakdown.py,
+  PALLAS_TILE_BREAKDOWN.json, production [712,128,128] p=4 batch):
+  k=4 solves in 8.14 ms (26.1 TF/s, 84% of the 31.1 TF/s measured MXU
+  ceiling) vs 8.82 ms at the former k=8 — four independent chains
+  already saturate the MXU pipeline (the mask-free matmul-only chain
+  runs 26.8 TF/s at k=4, and the full body's per-iteration cost equals
+  it: masks/selects are free), while larger tiles only add straggler
+  coupling (every member iterates until the tile's slowest converges).
+  k=16 does not even compile at m=128 (~12.6 MB live state overflows
+  VMEM server-side).  Warm solves hold ~2x the live state (prev, C,
+  CMC, CC blocks) so the same budget halves their tile at large m.
   """
   budget = 128 * 128 * (4 if warm else 8)
-  return max(1, min(16, budget // (m * m)))
+  return max(1, min(4, budget // (m * m)))
 
 
 def _bmm(a, b, prec=lax.Precision.HIGHEST):

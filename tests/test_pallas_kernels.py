@@ -96,7 +96,7 @@ class TestNewtonRootKernel:
   def test_tile_padding(self):
     """n not a multiple of the tile; padded slots must not leak out."""
     rng = np.random.RandomState(1)
-    n, m = 5, 16  # tile_for(16) == 8 -> pads 3 filler matrices
+    n, m = 5, 16  # tile_for(16) == 4 -> pads 3 filler matrices
     stats = _psd_batch(rng, n, m)
     pads = jnp.full((n,), m, jnp.int32)
     roots, met = newton_root.batched_inverse_pth_root_pallas(
