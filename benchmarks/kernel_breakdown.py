@@ -175,12 +175,16 @@ def measure(n=712, m=128, p=4):
   pallas_ext = lambda s, w: newton_root.batched_inverse_pth_root_pallas(
       s, p, pads, prevs=w, max_evs=_ext_maxev(s))
 
+  # Warm chains need k >> 1: a warm re-solve is now a few ms, and the
+  # whole fori_loop must stay well above the ~30 ms tunnel RTT being
+  # subtracted (k=8 once measured a literal 0.0 ms after the in-kernel
+  # power iteration was deleted).
   roots = record("xla_cold", xla, stats)
-  record("xla_warm", xla, drifted, warm_with=roots, k=8)
+  record("xla_warm", xla, drifted, warm_with=roots, k=32)
   pl_roots = record("pallas_cold", pallas, stats)
-  record("pallas_warm", pallas, drifted, warm_with=pl_roots, k=8)
+  record("pallas_warm", pallas, drifted, warm_with=pl_roots, k=32)
   record("pallas_cold_ext", pallas_ext, stats)
-  record("pallas_warm_ext", pallas_ext, drifted, warm_with=pl_roots, k=8)
+  record("pallas_warm_ext", pallas_ext, drifted, warm_with=pl_roots, k=32)
 
   # TRUE residual |H^p (A + r I) - I| of the kernel's roots, recomputed
   # on the host in float64, independently of the solver's self-report —
@@ -205,14 +209,11 @@ def measure(n=712, m=128, p=4):
   t_pi = _timeit_loop(pi_body, jnp.zeros((n,), jnp.float32), k=8, rtt=rtt)
   out["xla_powerit_ms"] = round(t_pi * 1e3, 3)
 
-  out["pallas_vs_xla_cold"] = round(out["xla_cold_ms"]
-                                    / out["pallas_cold_ms"], 2)
-  out["pallas_vs_xla_warm"] = round(out["xla_warm_ms"]
-                                    / out["pallas_warm_ms"], 2)
-  out["pallas_ext_vs_xla_cold"] = round(out["xla_cold_ms"]
-                                        / out["pallas_cold_ext_ms"], 2)
-  out["pallas_ext_vs_xla_warm"] = round(out["xla_warm_ms"]
-                                        / out["pallas_warm_ext_ms"], 2)
+  ratio = lambda a, b: round(out[a] / max(out[b], 1e-3), 2)
+  out["pallas_vs_xla_cold"] = ratio("xla_cold_ms", "pallas_cold_ms")
+  out["pallas_vs_xla_warm"] = ratio("xla_warm_ms", "pallas_warm_ms")
+  out["pallas_ext_vs_xla_cold"] = ratio("xla_cold_ms", "pallas_cold_ext_ms")
+  out["pallas_ext_vs_xla_warm"] = ratio("xla_warm_ms", "pallas_warm_ext_ms")
   out["pallas_xla_root_agreement"] = float(jnp.max(jnp.abs(roots - pl_roots)))
 
   # block_size=1024 fallback row: the fused whole-matrix kernel cannot
