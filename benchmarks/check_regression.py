@@ -67,6 +67,11 @@ def compare(fresh, committed, tolerance, ms_keys=_MS_KEYS,
     if key not in fresh or key not in committed:
       continue
     old, new = float(committed[key]), float(fresh[key])
+    if old <= 0.0:
+      # A committed 0.0 is a past measurement-granularity artifact (a
+      # timing window that ran under the tunnel RTT), not a baseline a
+      # real number can "regress" from.
+      continue
     if old > 0 and new > tolerance * old:
       problems.append(
           f"{key}: {new:.3f} ms vs committed {old:.3f} ms "

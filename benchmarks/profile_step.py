@@ -91,12 +91,27 @@ def _step_ms(tx, params, grads, rtt, k=8, settle_steps=2):
 def main():
   rng = np.random.RandomState(0)
   rtt = _rtt()
-  out = {"tunnel_rtt_ms": round(rtt * 1e3, 1)}
   small = bool(os.environ.get("PROFILE_SMALL"))  # CPU smoke of the harness
   n, m = (24, 16) if small else (712, 128)  # bench fixture: blocks x size
 
   artifact = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), "STEP_BREAKDOWN_TPU.json")
+
+  # --sections a,b,c re-measures only the named keys, merging into the
+  # existing artifact (every timing program's iteration count is traced,
+  # so re-runs are persistent-cache hits, not recompiles).
+  only = None
+  if "--sections" in sys.argv:
+    only = set(sys.argv[sys.argv.index("--sections") + 1].split(","))
+  out = {"tunnel_rtt_ms": round(rtt * 1e3, 1)}
+  if only and os.path.exists(artifact) and not small:
+    with open(artifact) as f:
+      prev = json.load(f)
+    prev.update(out)
+    out = prev
+
+  def _want(key):
+    return only is None or key in only
 
   def _record(key, val):
     """Record one measurement and checkpoint the artifact immediately.
@@ -118,18 +133,20 @@ def main():
     r, _ = pth_root.batched_inverse_pth_root(stats + 1e-30 * carry, 4, pads)
     return r
 
-  t_solve = _timeit_loop(solve_body, jnp.zeros_like(stats), k=4, rtt=rtt)
-  _record("newton_solve_ms", round(t_solve * 1e3, 2))
-  print(f"newton solve [{n},{m},{m}]: {out['newton_solve_ms']:.2f} ms")
+  if _want("newton_solve_ms"):
+    t_solve = _timeit_loop(solve_body, jnp.zeros_like(stats), k=4, rtt=rtt)
+    _record("newton_solve_ms", round(t_solve * 1e3, 2))
+    print(f"newton solve [{n},{m},{m}]: {out['newton_solve_ms']:.2f} ms")
 
   def eigh_body(_, carry):
     r, _ = pth_root.batched_inverse_pth_root(
         stats + 1e-30 * carry, 4, pads, eigh=True)
     return r
 
-  t_eigh = _timeit_loop(eigh_body, jnp.zeros_like(stats), k=4, rtt=rtt)
-  _record("eigh_solve_ms", round(t_eigh * 1e3, 2))
-  print(f"eigh solve: {out['eigh_solve_ms']:.2f} ms")
+  if _want("eigh_solve_ms"):
+    t_eigh = _timeit_loop(eigh_body, jnp.zeros_like(stats), k=4, rtt=rtt)
+    _record("eigh_solve_ms", round(t_eigh * 1e3, 2))
+    print(f"eigh solve: {out['eigh_solve_ms']:.2f} ms")
 
   # Statistics contraction (gram updates) on the full fixture batch.
   g = jnp.asarray(rng.randn(n, m, m), jnp.float32)
@@ -143,9 +160,10 @@ def main():
     return 0.999 * s + 0.001 * jnp.einsum(
         "nij,nkj->nik", gg, gg, precision=lax.Precision.HIGHEST)
 
-  t_gram = _timeit_loop(gram_body, s0, k=256, rtt=rtt)
-  _record("gram_update_ms", round(t_gram * 1e3, 3))
-  print(f"gram update [{n},{m},{m}]: {out['gram_update_ms']:.3f} ms")
+  if _want("gram_update_ms"):
+    t_gram = _timeit_loop(gram_body, s0, k=256, rtt=rtt)
+    _record("gram_update_ms", round(t_gram * 1e3, 3))
+    print(f"gram update [{n},{m},{m}]: {out['gram_update_ms']:.3f} ms")
 
   # Full optimizer step vs its solve-free and stats-free ablations.
   import bench
@@ -157,79 +175,103 @@ def main():
   grads = jax.tree.map(
       lambda p: jnp.asarray(rng.randn(*p.shape) * 0.01, jnp.float32), params)
 
-  tx = shampoo.distributed_shampoo(
-      **bench.HYPERS, graft_type=shampoo.GraftingType.RMSPROP,
-      generate_training_metrics=False)
-  with _maybe_trace():  # named_scope-labelled xprof capture of the step
-    _record("full_step_ms", round(_step_ms(tx, params, grads, rtt), 2))
-  print(f"full step: {out['full_step_ms']:.2f} ms")
+  if _want("full_step_ms"):
+    tx = shampoo.distributed_shampoo(
+        **bench.HYPERS, graft_type=shampoo.GraftingType.RMSPROP,
+        generate_training_metrics=False)
+    with _maybe_trace():  # named_scope-labelled xprof capture of the step
+      _record("full_step_ms", round(_step_ms(tx, params, grads, rtt), 2))
+    print(f"full step: {out['full_step_ms']:.2f} ms")
 
-  tx_warm = shampoo.distributed_shampoo(
-      **bench.HYPERS, graft_type=shampoo.GraftingType.RMSPROP,
-      generate_training_metrics=False, reuse_preconditioner=True)
-  _record("full_step_warmstart_ms",
-          round(_step_ms(tx_warm, params, grads, rtt), 2))
-  print(f"full step (warm-started solves): {out['full_step_warmstart_ms']:.2f}"
-        " ms")
+  if _want("full_step_warmstart_ms"):
+    tx_warm = shampoo.distributed_shampoo(
+        **bench.HYPERS, graft_type=shampoo.GraftingType.RMSPROP,
+        generate_training_metrics=False, reuse_preconditioner=True)
+    _record("full_step_warmstart_ms",
+            round(_step_ms(tx_warm, params, grads, rtt), 2))
+    print(f"full step (warm-started solves): "
+          f"{out['full_step_warmstart_ms']:.2f} ms")
 
   # Solve gated off: preconditioning_compute_steps huge, settled past the
   # count=0 solve. What remains is stats EMA + grafting + transform.
-  tx2 = shampoo.distributed_shampoo(
-      **{**bench.HYPERS, "preconditioning_compute_steps": 1000},
-      graft_type=shampoo.GraftingType.RMSPROP,
-      generate_training_metrics=False)
-  _record("step_without_solve_ms", round(_step_ms(tx2, params, grads, rtt), 2))
-  print(f"step without solve: {out['step_without_solve_ms']:.2f} ms")
+  if _want("step_without_solve_ms"):
+    tx2 = shampoo.distributed_shampoo(
+        **{**bench.HYPERS, "preconditioning_compute_steps": 1000},
+        graft_type=shampoo.GraftingType.RMSPROP,
+        generate_training_metrics=False)
+    _record("step_without_solve_ms",
+            round(_step_ms(tx2, params, grads, rtt, k=32), 2))
+    print(f"step without solve: {out['step_without_solve_ms']:.2f} ms")
 
   # Stats also gated off: grafting + transform + bookkeeping only.
-  tx3 = shampoo.distributed_shampoo(
-      **{**bench.HYPERS, "preconditioning_compute_steps": 1000,
-         "statistics_compute_steps": 1000},
-      graft_type=shampoo.GraftingType.RMSPROP,
-      generate_training_metrics=False)
-  _record("step_transform_only_ms", round(_step_ms(tx3, params, grads, rtt), 2))
-  print(f"step transform-only: {out['step_transform_only_ms']:.2f} ms")
+  if _want("step_transform_only_ms"):
+    # k=256: this program is sub-ms per step; at k=8 the timing window
+    # sat under the tunnel RTT and recorded a literal 0.0.
+    tx3 = shampoo.distributed_shampoo(
+        **{**bench.HYPERS, "preconditioning_compute_steps": 1000,
+           "statistics_compute_steps": 1000},
+        graft_type=shampoo.GraftingType.RMSPROP,
+        generate_training_metrics=False)
+    _record("step_transform_only_ms",
+            round(_step_ms(tx3, params, grads, rtt, k=256), 3))
+    print(f"step transform-only: {out['step_transform_only_ms']:.3f} ms")
 
   # Secondary fixtures: block-256 Shampoo (the "increase block size with
   # compute budget" knob) and the tearfree stack on the same tree.
-  tx4 = shampoo.distributed_shampoo(
-      **{**bench.HYPERS, "block_size": 256},
-      graft_type=shampoo.GraftingType.RMSPROP,
-      generate_training_metrics=False)
-  _record("full_step_block256_ms", round(_step_ms(tx4, params, grads, rtt), 2))
-  print(f"full step block 256: {out['full_step_block256_ms']:.2f} ms")
+  if _want("full_step_block256_ms"):
+    tx4 = shampoo.distributed_shampoo(
+        **{**bench.HYPERS, "block_size": 256},
+        graft_type=shampoo.GraftingType.RMSPROP,
+        generate_training_metrics=False)
+    _record("full_step_block256_ms",
+            round(_step_ms(tx4, params, grads, rtt), 2))
+    print(f"full step block 256: {out['full_step_block256_ms']:.2f} ms")
 
   from precondition_tpu.tearfree import optimizer as tearfree_opt
   from precondition_tpu.tearfree import second_order, shampoo as tf_shampoo
-  tf = tearfree_opt.tearfree(
-      learning_rate=0.1,
-      options=tearfree_opt.TearfreeOptions(
-          second_order_options=second_order.Options(
-              shampoo_options=tf_shampoo.Options(
-                  block_size=128, update_preconditioners_freq=1,
-                  update_statistics_freq=1))))
-  _record("tearfree_step_ms", round(_step_ms(tf, params, grads, rtt), 2))
-  print(f"tearfree step: {out['tearfree_step_ms']:.2f} ms")
+  if _want("tearfree_step_ms"):
+    tf = tearfree_opt.tearfree(
+        learning_rate=0.1,
+        options=tearfree_opt.TearfreeOptions(
+            second_order_options=second_order.Options(
+                shampoo_options=tf_shampoo.Options(
+                    block_size=128, update_preconditioners_freq=1,
+                    update_statistics_freq=1))))
+    _record("tearfree_step_ms", round(_step_ms(tf, params, grads, rtt), 2))
+    print(f"tearfree step: {out['tearfree_step_ms']:.2f} ms")
 
   # Same stack with the opt-in coupled-Newton blocked-root solver
   # (tearfree/shampoo.py Options.solver_backend='newton'): quantifies the
   # eigh -> Newton swap at the step level, not just the solver microbench.
-  tf_newton = tearfree_opt.tearfree(
-      learning_rate=0.1,
-      options=tearfree_opt.TearfreeOptions(
-          second_order_options=second_order.Options(
-              shampoo_options=tf_shampoo.Options(
-                  block_size=128, update_preconditioners_freq=1,
-                  update_statistics_freq=1, solver_backend="newton"))))
-  _record("tearfree_step_newton_ms",
-          round(_step_ms(tf_newton, params, grads, rtt), 2))
-  print(f"tearfree step (newton solver): {out['tearfree_step_newton_ms']:.2f}"
-        " ms")
+  if _want("tearfree_step_newton_ms"):
+    tf_newton = tearfree_opt.tearfree(
+        learning_rate=0.1,
+        options=tearfree_opt.TearfreeOptions(
+            second_order_options=second_order.Options(
+                shampoo_options=tf_shampoo.Options(
+                    block_size=128, update_preconditioners_freq=1,
+                    update_statistics_freq=1, solver_backend="newton"))))
+    _record("tearfree_step_newton_ms",
+            round(_step_ms(tf_newton, params, grads, rtt), 2))
+    print(f"tearfree step (newton solver): "
+          f"{out['tearfree_step_newton_ms']:.2f} ms")
 
   _record("solve_share_ms", round(
       out["full_step_ms"] - out["step_without_solve_ms"], 2))
   _record("stats_share_ms", round(
       out["step_without_solve_ms"] - out["step_transform_only_ms"], 2))
+  if out["stats_share_ms"] < 0:
+    # Reproducible on TPU: gating the statistics off makes the step
+    # SLOWER — the lazily-gated branch must pass every stacked [N,m,m]
+    # statistics buffer through unchanged (an HBM copy XLA cannot elide
+    # across the cond), which costs more than the fused gram EMA it
+    # skips.  The true statistics cost is bounded by gram_update_ms per
+    # uniform group; the negative difference is gating overhead, not a
+    # negative share.
+    _record("stats_share_note",
+            "negative = lazy-cond pass-through copy of stacked stats "
+            "outweighs the fused gram EMA; true stats cost ~ "
+            "gram_update_ms per group")
   print(json.dumps(out))
 
 
