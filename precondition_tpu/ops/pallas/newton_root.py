@@ -366,10 +366,12 @@ def batched_inverse_pth_root_pallas(
     prevs = None
 
   if relative_matrix_epsilon and max_evs is None:
-    # Warm re-solves take the loose 1% exit — the estimate only scales
-    # the ridge and the warm certificate gates quality (same policy as
-    # `optim/shampoo._solve_batched`).
-    pi_tol = 1e-2 if prevs is not None else 1e-6
+    # Loose 1% exit for cold AND warm — the estimate only scales the
+    # ridge, power iteration converges from below, and the retry ladder
+    # guards the rare member that needs more rounds (same measured
+    # policy as `optim/shampoo._solve_batched`; see
+    # SOLVE_GAP_PROBE.json: 22.6 -> 1.8 ms at identical root errors).
+    pi_tol = 1e-2
     max_evs = jax.vmap(
         lambda s, d: pth_root.power_iteration(
             s, padding_start=d, error_tolerance=pi_tol,

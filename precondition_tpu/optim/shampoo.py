@@ -637,10 +637,21 @@ def distributed_shampoo(
           # kernel: one fleet-wide batched power iteration pipelines all
           # N latency-bound matvec chains through the MXU, where the
           # in-kernel variant serialises them over only the tile's k
-          # members (measured as the warm path's dominant cost).  Warm
-          # re-solves take the loose 1% exit — the estimate only scales
-          # the ridge and the warm certificate gates quality.
-          pi_tol = 1e-2 if prevs is not None else 1e-6
+          # members (measured as the warm path's dominant cost).
+          #
+          # BOTH cold and warm solves take the loose 1% exit — a
+          # measured decision (benchmarks/solve_gap_probe.py,
+          # SOLVE_GAP_PROBE.json, the settled bench census of 6176
+          # [128,128] stats): the tight 1e-6 exit cost 22.6 ms of the
+          # 64.5 ms solve vs 1.8 ms loose, while iteration counts and
+          # final root errors were IDENTICAL.  The estimate only scales
+          # the relative ridge (epsilon * lambda_max); power iteration
+          # converges to lambda_max from below, so a loose exit shrinks
+          # the ridge — i.e. solves a slightly harder, never a wronger,
+          # problem — and the ridge retry ladder (x10 escalation) plus
+          # the stale-root failure gate already guard the rare
+          # ill-conditioned member that needs more rounds.
+          pi_tol = 1e-2
           max_evs = jax.vmap(
               lambda s, d: pth_root.power_iteration(
                   s, precision=precision, padding_start=d,

@@ -219,8 +219,9 @@ class TestExternalMaxEv:
       prevs, _ = newton_root.batched_inverse_pth_root_pallas(
           stats, 4, pads, interpret=True)
     # The wrapper's omitted-max_evs fallback policy: loose 1% exit for
-    # warm re-solves, 1e-6 cold (mirrors optim/shampoo._solve_batched).
-    pi_tol = 1e-2 if warm else 1e-6
+    # cold AND warm (mirrors optim/shampoo._solve_batched; the measured
+    # SOLVE_GAP_PROBE decision).
+    pi_tol = 1e-2
     max_evs = jax.vmap(
         lambda s, d: pth_root.power_iteration(
             s, padding_start=d, error_tolerance=pi_tol,
@@ -237,6 +238,32 @@ class TestExternalMaxEv:
     assert float(jnp.max(met_ext.error)) < 1e-4
     np.testing.assert_allclose(
         np.asarray(met_ext.max_eigenvalue), np.asarray(max_evs), rtol=1e-6)
+
+  def test_underestimated_maxev_still_converges(self):
+    """The loose-PI policy's safety contract, pinned.
+
+    Power iteration converges to lambda_max from below, so a loose exit
+    can only SHRINK the relative ridge.  Feed eigenvalues underestimated
+    by 100x (far beyond the worst observed loose-exit error) and require
+    the solve to still meet tolerance — the ladder escalates the ridge
+    for members that need it.
+    """
+    rng = np.random.RandomState(13)
+    n, m = 6, 16
+    stats = _psd_batch(rng, n, m)
+    pads = jnp.full((n,), m, jnp.int32)
+    true_evs = jax.vmap(
+        lambda s, d: pth_root.power_iteration(
+            s, padding_start=d, error_tolerance=1e-6,
+            relative_tolerance=True)[1])(stats, pads)
+    roots, met = newton_root.batched_inverse_pth_root_pallas(
+        stats, 4, pads, max_evs=true_evs * 0.01, interpret=True)
+    assert float(jnp.max(met.error)) < 1e-4
+    ref, _ = newton_root.batched_inverse_pth_root_pallas(
+        stats, 4, pads, max_evs=true_evs, interpret=True)
+    # A 100x smaller ridge perturbs the root only at the ridge's own
+    # scale on these well-conditioned inputs.
+    np.testing.assert_allclose(roots, ref, rtol=1e-2, atol=1e-4)
 
   def test_external_maxev_with_mixed_padding(self):
     rng = np.random.RandomState(12)
