@@ -92,6 +92,32 @@ class ShampooState(NamedTuple):
   stats: Any
 
 
+def _is_stacked_state(mats) -> bool:
+  """True when a param's matrix state is per-axis stacked ``[nb, d, d]``.
+
+  The stacked layout (uniform-block params, see
+  `Preconditioner.stacked_layout`) keeps ONE 3-D array per preconditioned
+  axis instead of a python list of per-block matrices — the per-step
+  restack/scatter of hundreds of blocks then disappears from the traced
+  program (the reference's pjit mode stores the same stacked layout
+  globally, `distributed_shampoo.py:2162-2256`).  Legacy entries
+  (ragged blocks, quantized, packed low-rank/FD) are 2-D.
+  """
+  return bool(mats) and getattr(mats[0], "ndim", 2) == 3
+
+
+class _SolveChunk(NamedTuple):
+  """Static descriptor of one contiguous slice of the fleet solve batch."""
+  si: int      # state/param index
+  slot: int    # index into that state's statistics list
+  k: int       # number of matrices in the chunk
+  d: int       # (unpadded) matrix size
+  exp: int     # root exponent
+  mode: str    # 'full' | 'lowrank' | 'fd'
+  start: int   # first global statistic index
+  stacked: bool
+
+
 def preconditioning_compute_steps_schedule(
     lr_fn, start_steps, end_steps, step):
   """Stretch the root-recompute interval as the learning rate decays.
@@ -164,6 +190,62 @@ class Preconditioner:
 
   def num_statistics(self) -> int:
     return len(self.shapes_for_preconditioners())
+
+  def stacked_layout(self) -> bool:
+    """Whether this param can keep per-axis stacked ``[nb, d, d]`` state.
+
+    Requires uniform blocks (no ragged trailing block) and full-matrix
+    preconditioners (no packed compression buffers).
+    """
+    return (self._partitioner.uniform_block_shape() is not None
+            and self._compression_rank == 0)
+
+  def stacked_shapes(self) -> List[tuple]:
+    """Per preconditioned axis: ``(num_blocks, d, d)`` stack shapes."""
+    block = self._partitioner.uniform_block_shape()
+    nb = self._partitioner.num_blocks()
+    return [(nb, block[a], block[a])
+            for a, on in enumerate(self._precond_dims) if on]
+
+  def updated_statistics_stacked(self, stats, grad, w1, w2,
+                                 precision=None) -> List[Array]:
+    """EMA gram update on the per-axis stacked layout.
+
+    ``stats[slot]`` is the ``[nb, d, d]`` stack for the slot-th
+    preconditioned axis; the update is one batched contraction per axis
+    directly against the state array — no per-block stack/scatter.
+    Numerically identical to the uniform fast path of
+    `updated_statistics_from_grad`.
+    """
+    reshaped = jnp.reshape(grad, self._transformed_shape)
+    uniform = self._partitioner.uniform_block_shape()
+    gs_all = self._partitioner.partition_stacked(reshaped)
+    nb = gs_all.shape[0]
+    new_stats = []
+    slot = 0
+    for axis, on in enumerate(self._precond_dims):
+      if not on:
+        continue
+      flat = jnp.reshape(jnp.moveaxis(gs_all, axis + 1, 1),
+                         (nb, uniform[axis], -1))
+      grams = jnp.einsum("bif,bjf->bij", flat, flat, precision=precision)
+      new_stats.append(w1 * stats[slot] + w2 * grams)
+      slot += 1
+    return new_stats
+
+  def preconditioned_grad_stacked(self, grad, preconditioners) -> Array:
+    """Apply per-axis stacked roots ``[nb, d, d]`` to the gradient."""
+    reshaped = jnp.reshape(grad, self._transformed_shape)
+    g = self._partitioner.partition_stacked(reshaped)
+    slot = 0
+    for on in self._precond_dims:
+      if not on:
+        g = jnp.moveaxis(g, 1, -1)
+        continue
+      g = jnp.einsum("bi...,bij->b...j", g, preconditioners[slot])
+      slot += 1
+    merged = self._partitioner.merge_stacked(g)
+    return jnp.reshape(merged, self._original_shape)
 
   def statistics_from_grad(self, grad) -> List[Array]:
     """Fresh (unweighted) Gram statistics ``G_(a) G_(a)^T`` per block/axis."""
@@ -525,22 +607,37 @@ def distributed_shampoo(
   def _matrix_to_float(x):
     return x.to_float() if isinstance(x, QuantizedValue) else x
 
+  # Stacked per-axis state layout: only for plain f32 full-matrix params
+  # (quantized/FD/compressed modes keep the legacy per-block lists).
+  use_stacked = (not best_effort_memory_usage_reduction
+                 and not frequent_directions and compression_rank == 0)
+
   # --------------------------------------------------------------- init --
   def init_fn(params):
     def _init(param):
       statistics = []
       preconditioners = []
+      num_stats = 0
       if not _skip_preconditioning(param):
         pre = preconditioner_from_params(param)
-        stat_shapes = pre.shapes_for_preconditioners()
-        statistics = [matrix_epsilon * jnp.eye(s[0], dtype=jnp.float32)
-                      for s in stat_shapes]
-        # Compressed (rectangular) preconditioners start at zero -- a
-        # truncated identity would be meaningless in the packed layout.
-        preconditioners = [
-            jnp.eye(s[0], s[1], dtype=jnp.float32) * (s[0] == s[1])
-            for s in stat_shapes
-        ]
+        if use_stacked and pre.stacked_layout():
+          for (nb, d, _) in pre.stacked_shapes():
+            eye = jnp.eye(d, dtype=jnp.float32)
+            statistics.append(
+                matrix_epsilon * jnp.broadcast_to(eye, (nb, d, d)))
+            preconditioners.append(jnp.broadcast_to(eye, (nb, d, d)))
+            num_stats += nb
+        else:
+          stat_shapes = pre.shapes_for_preconditioners()
+          statistics = [matrix_epsilon * jnp.eye(s[0], dtype=jnp.float32)
+                        for s in stat_shapes]
+          # Compressed (rectangular) preconditioners start at zero -- a
+          # truncated identity would be meaningless in the packed layout.
+          preconditioners = [
+              jnp.eye(s[0], s[1], dtype=jnp.float32) * (s[0] == s[1])
+              for s in stat_shapes
+          ]
+          num_stats = len(stat_shapes)
       diagonal_statistics = []
       if graft_has_diag_stats:
         diagonal_statistics = jnp.zeros_like(param)
@@ -554,7 +651,7 @@ def distributed_shampoo(
           _quantize_momentum(jnp.zeros_like(param)),
           _quantize_momentum(jnp.zeros_like(param)),
           avg_grad,
-          _init_metrics(len(statistics), generate_training_metrics,
+          _init_metrics(num_stats, generate_training_metrics,
                         generate_detailed_metrics, generate_fd_metrics))
 
     return ShampooState(
@@ -578,7 +675,13 @@ def distributed_shampoo(
             grad, state.avg_grad + grad)
         grad = new_avg_grad / statistics_compute_steps
 
+      stacked = _is_stacked_state(state.statistics)
+
       def compute():
+        if stacked:
+          return pre.updated_statistics_stacked(
+              state.statistics, grad, w1=w1, w2=w2,
+              precision=tensordot_precision)
         return pre.updated_statistics_from_grad(
             state.statistics, grad, w1=w1, w2=w2,
             to_float=_matrix_to_float, from_float=_quantize_matrix,
@@ -786,85 +889,126 @@ def distributed_shampoo(
     return solve_fn(stacked, exps, pads, prevs)
 
   def _update_preconditioners(states, params, step):
-    """Solve inverse roots for every statistic across all params at once."""
-    statistics, exponents, prev_pre, sizes, per_state_counts = [], [], [], [], []
-    for state, param in zip(states, params):
-      n = len(state.statistics)
-      per_state_counts.append(n)
-      if n:
-        pre = preconditioner_from_params(param)
-        exp = (pre.exponent_for_preconditioner()
-               if exponent_override == 0 else exponent_override)
-        for s in state.statistics:
-          exponents.append(exp)
-          sizes.append(s.shape[0])  # QuantizedValue carries .shape too
-        statistics.extend(_matrix_to_float(s) for s in state.statistics)
-        prev_pre.extend(_matrix_to_float(pre_)
-                        for pre_ in state.preconditioners)
-    num_statistics = len(statistics)
+    """Solve inverse roots for every statistic across all params at once.
+
+    Statistics are gathered into one stacked ``[N, m, m]`` fleet batch per
+    (exponent, solver-mode) group.  Stacked-layout params contribute whole
+    ``[nb, d, d]`` chunks — one pad + concat instead of per-block
+    stacking — and take their fresh roots back as batched slices with a
+    vectorized failure gate.  Legacy params (ragged/quantized/compressed)
+    keep per-matrix chunks.  The skip branch of the frequency gate carries
+    zero placeholders (the failure gate keeps the old roots), so off-steps
+    no longer pay a pass-through copy of the stacked statistics.
+    """
+    chunks: List[_SolveChunk] = []
+    state_spans = []  # per state: (first_global_index, count, [chunk ids])
+    stat_index = 0
+    for si, (state, param) in enumerate(zip(states, params)):
+      if not state.statistics:
+        state_spans.append((stat_index, 0, []))
+        continue
+      pre = preconditioner_from_params(param)
+      exp = (pre.exponent_for_preconditioner()
+             if exponent_override == 0 else exponent_override)
+      ids = []
+      first = stat_index
+      if _is_stacked_state(state.statistics):
+        for slot, s in enumerate(state.statistics):
+          ids.append(len(chunks))
+          chunks.append(_SolveChunk(si, slot, int(s.shape[0]),
+                                    int(s.shape[-1]), exp, "full",
+                                    stat_index, True))
+          stat_index += int(s.shape[0])
+      else:
+        for j, s in enumerate(state.statistics):
+          d = int(s.shape[0])  # QuantizedValue carries .shape too
+          if lowrank.should_compress(compression_rank, d):
+            mode = "fd" if frequent_directions else "lowrank"
+          else:
+            mode = "full"
+          ids.append(len(chunks))
+          chunks.append(_SolveChunk(si, j, 1, d, exp, mode, stat_index,
+                                    False))
+          stat_index += 1
+      state_spans.append((first, stat_index - first, ids))
+    num_statistics = stat_index
     if num_statistics == 0:
       return states
 
-    max_size = max(sizes)
+    max_size = max(c.d for c in chunks)
     if batch_axis_name:
       num_shards = lax.psum(1, batch_axis_name)
     else:
       num_shards = num_devices_for_pjit or inferred_num_shards or 1
-    padded = [shape_utils.pad_square_matrix(s, max_size) for s in statistics]
     pd = lowrank.precond_dim(compression_rank, max_size)
 
-    # Bucket statistics by (exponent, solver-mode) -- both static per
-    # block.  Static exponents let mat_power unroll to pure matmuls
-    # (measured several-x faster on TPU than a traced-p while_loop), and
-    # compressed blocks route to the low-rank/FD eigensolvers.
-    groups = {}
-    for i, (e, d) in enumerate(zip(exponents, sizes)):
-      if lowrank.should_compress(compression_rank, d):
-        mode = "fd" if frequent_directions else "lowrank"
-      else:
-        mode = "full"
-      groups.setdefault((int(e), mode), []).append(i)
+    def _chunk_stats(c: _SolveChunk):
+      s = states[c.si].statistics[c.slot]
+      if c.stacked:
+        return shape_utils.pad_square_stack(s, max_size)
+      return shape_utils.pad_square_matrix(
+          _matrix_to_float(s), max_size)[None]
 
-    def _pad_packed(buf):
+    def _chunk_prev(c: _SolveChunk):
+      pm = _matrix_to_float(states[c.si].preconditioners[c.slot])
+      if c.stacked:
+        return shape_utils.pad_square_stack(pm, max_size)
+      return shape_utils.pad_square_matrix(pm, max_size)[None]
+
+    def _chunk_prev_packed(c: _SolveChunk):
+      buf = _matrix_to_float(states[c.si].preconditioners[c.slot])
       out = jnp.zeros((max_size, pd), buf.dtype)
-      return out.at[:buf.shape[0], :buf.shape[1]].set(buf)
+      return out.at[:buf.shape[0], :buf.shape[1]].set(buf)[None]
+
+    # Bucket chunks by (exponent, solver-mode) -- both static.  Static
+    # exponents let mat_power unroll to pure matmuls (measured several-x
+    # faster on TPU than a traced-p while_loop), and compressed blocks
+    # route to the low-rank/FD eigensolvers.
+    groups = {}
+    for ci, c in enumerate(chunks):
+      groups.setdefault((c.exp, c.mode), []).append(ci)
+
+    def _eye_filler(n):
+      return jnp.broadcast_to(jnp.eye(max_size, dtype=jnp.float32),
+                              (n, max_size, max_size))
 
     def solve():
-      roots_out = [None] * num_statistics
+      fresh = [None] * len(chunks)
       group_metrics = []
       order = []
-      for (exp, mode), idxs in sorted(groups.items()):
-        grp_pads = jnp.asarray([sizes[i] for i in idxs], jnp.int32)
+      for (exp, mode), cids in sorted(groups.items()):
+        total_k = sum(chunks[ci].k for ci in cids)
+        to_pad = (-total_k) % num_shards
+        arrs = [_chunk_stats(chunks[ci]) for ci in cids]
+        pads_list = [jnp.full((chunks[ci].k,), chunks[ci].d, jnp.int32)
+                     for ci in cids]
+        if to_pad:
+          pads_list.append(jnp.zeros((to_pad,), jnp.int32))
+        grp_pads = jnp.concatenate(pads_list) if len(
+            pads_list) > 1 else pads_list[0]
         if mode == "full":
-          to_pad = (-len(idxs)) % num_shards
-          grp = [padded[i] for i in idxs]
-          grp.extend(jnp.eye(max_size, dtype=grp[0].dtype)
-                     for _ in range(to_pad))
-          grp_pads = jnp.asarray(
-              [sizes[i] for i in idxs] + [0] * to_pad, jnp.int32)
+          if to_pad:
+            arrs.append(_eye_filler(to_pad))
+          grp = jnp.concatenate(arrs, axis=0) if len(arrs) > 1 else arrs[0]
           grp_prevs = None
           if reuse_preconditioner:
             # Warm-start each solve from the previous accepted root; the
             # kernel certifies warm quality per matrix and falls back to
             # the cold ladder on its own, so the step-0 identity
             # preconditioners are safe inputs.
-            prevs_list = [shape_utils.pad_square_matrix(prev_pre[i], max_size)
-                          for i in idxs]
-            prevs_list.extend(jnp.eye(max_size, dtype=grp[0].dtype)
-                              for _ in range(to_pad))
-            grp_prevs = jnp.stack(prevs_list)
-          roots, metrics = _distributed_solve(
-              jnp.stack(grp), exp, grp_pads, grp_prevs)
+            prevs_list = [_chunk_prev(chunks[ci]) for ci in cids]
+            if to_pad:
+              prevs_list.append(_eye_filler(to_pad))
+            grp_prevs = (jnp.concatenate(prevs_list, axis=0)
+                         if len(prevs_list) > 1 else prevs_list[0])
+          roots, metrics = _distributed_solve(grp, exp, grp_pads, grp_prevs)
         elif mode == "lowrank":
           # Compressed groups distribute like full ones: solver-pad the
           # batch to the shard count (pure-padding entries zero out inside
           # `low_rank_root`), shard the leading axis, all-gather results.
-          to_pad = (-len(idxs)) % num_shards
-          stacked = jnp.stack(
-              [padded[i] for i in idxs]
-              + [jnp.eye(max_size, dtype=padded[idxs[0]].dtype)] * to_pad)
-          grp_pads = jnp.asarray(
-              [sizes[i] for i in idxs] + [0] * to_pad, jnp.int32)
+          if to_pad:
+            arrs.append(_eye_filler(to_pad))
+          grp = jnp.concatenate(arrs, axis=0) if len(arrs) > 1 else arrs[0]
 
           def _lowrank_solve(st, ex, pd_, pv, exp=exp):
             del pv, ex
@@ -876,16 +1020,17 @@ def distributed_shampoo(
                     padding_start=d))(st, pd_)
 
           roots, metrics = _distributed_solve(
-              stacked, exp, grp_pads, solve_fn=_lowrank_solve)
+              grp, exp, grp_pads, solve_fn=_lowrank_solve)
         else:  # fd: statistics are Cholesky factors, prev is required.
-          to_pad = (-len(idxs)) % num_shards
-          dt = padded[idxs[0]].dtype
-          stacked = jnp.stack([padded[i] for i in idxs]
-                              + [jnp.zeros((max_size, max_size), dt)] * to_pad)
-          prevs = jnp.stack([_pad_packed(prev_pre[i]) for i in idxs]
-                            + [jnp.zeros((max_size, pd), dt)] * to_pad)
-          grp_pads = jnp.asarray(
-              [sizes[i] for i in idxs] + [0] * to_pad, jnp.int32)
+          if to_pad:
+            arrs.append(jnp.zeros((to_pad, max_size, max_size),
+                                  jnp.float32))
+          grp = jnp.concatenate(arrs, axis=0) if len(arrs) > 1 else arrs[0]
+          prevs_list = [_chunk_prev_packed(chunks[ci]) for ci in cids]
+          if to_pad:
+            prevs_list.append(jnp.zeros((to_pad, max_size, pd), jnp.float32))
+          prevs = (jnp.concatenate(prevs_list, axis=0)
+                   if len(prevs_list) > 1 else prevs_list[0])
           if reset_frequency is not None:
             prevs = jnp.where(step % reset_frequency == 0, 0.0, 1.0) * prevs
 
@@ -901,17 +1046,19 @@ def distributed_shampoo(
                     generate_fd_metrics=generate_fd_metrics))(st, pv, pd_)
 
           roots, metrics = _distributed_solve(
-              stacked, exp, grp_pads, prevs, solve_fn=_fd_solve)
-        for j, i in enumerate(idxs):
-          roots_out[i] = roots[j]
-        # Solver-padding entries (full groups only) sit past len(idxs).
-        metrics = jax.tree.map(lambda x: x[:len(idxs)], metrics)
+              grp, exp, grp_pads, prevs, solve_fn=_fd_solve)
+        off = 0
+        for ci in cids:
+          fresh[ci] = roots[off:off + chunks[ci].k]
+          off += chunks[ci].k
+        # Solver-padding entries (if any) sit past total_k.
+        metrics = jax.tree.map(lambda x: x[:total_k], metrics)
         # Zero-fill whichever diagnostics this solver mode didn't produce
         # so group structures agree for the concat below (e.g. low-rank
         # groups carry no entrywise residuals, full groups no FD report).
         if generate_detailed_metrics or generate_fd_metrics:
           template = jax.tree.map(
-              lambda x: jnp.broadcast_to(x, (len(idxs),)),
+              lambda x: jnp.broadcast_to(x, (total_k,)),
               _metrics_template(generate_detailed_metrics,
                                 generate_fd_metrics))
           metrics = template.replace(**{
@@ -919,13 +1066,15 @@ def distributed_shampoo(
               for f in dataclasses.fields(metrics)
               if not isinstance(getattr(metrics, f.name), optax.MaskedNode)})
         group_metrics.append(metrics)
-        order.extend(idxs)
+        for ci in cids:
+          order.extend(range(chunks[ci].start,
+                             chunks[ci].start + chunks[ci].k))
       # One concat + gather instead of per-statistic slicing/stacking
       # (thousands of tiny ops otherwise; measured ~8 ms per step on TPU).
       inv = np.argsort(np.asarray(order))
       all_metrics = jax.tree.map(
           lambda *xs: jnp.concatenate(xs)[inv], *group_metrics)
-      return tuple(roots_out), all_metrics
+      return tuple(fresh), all_metrics
 
     # Frequency gate.
     steps_t = preconditioning_compute_steps
@@ -939,43 +1088,48 @@ def distributed_shampoo(
     perform_step = step % steps_t == 0
 
     if not scheduled and preconditioning_compute_steps == 1:
-      roots, metrics = solve()
+      fresh, metrics = solve()
     else:
-      # Skip the solve entirely on off-steps; dummy errors above the failure
-      # threshold make the selection below keep the old preconditioners.
-      init_roots = []
-      for i, d in enumerate(sizes):
-        if lowrank.should_compress(compression_rank, d):
-          init_roots.append(_pad_packed(prev_pre[i]))
-        else:
-          init_roots.append(padded[i])
+      # Skip the solve entirely on off-steps.  The placeholders are plain
+      # zeros: the dummy errors below sit at the failure threshold, so the
+      # gate keeps the old preconditioners and the placeholder content is
+      # never read — off-steps carry no copy of the statistics fleet.
+      init_fresh = tuple(
+          jnp.zeros((c.k, max_size,
+                     max_size if c.mode == "full" else pd), jnp.float32)
+          for c in chunks)
       init_metrics = jax.tree.map(
           lambda x: jnp.full((num_statistics,), x),
           _metrics_template(generate_detailed_metrics, generate_fd_metrics,
                             error=inverse_failure_threshold))
-      roots, metrics = tree_lazy_cond(
-          perform_step, solve, (tuple(init_roots), init_metrics))
+      fresh, metrics = tree_lazy_cond(
+          perform_step, solve, (init_fresh, init_metrics))
 
     errors = metrics.error
     failed = jnp.logical_or(jnp.isnan(errors),
                             errors >= inverse_failure_threshold)
 
-    # Scatter results back into per-param lists with the failure gate.
+    # Slice results back into per-param state with the failure gate.
     new_states = []
-    idx = 0
-    for state, count in zip(states, per_state_counts):
+    for state, (first, count, ids) in zip(states, state_spans):
       if count == 0:
         new_states.append(state)
         continue
-      new_pre = []
-      for j in range(count):
-        old = prev_pre[idx + j]
-        rows, cols = old.shape
-        fresh = roots[idx + j][:rows, :cols]
-        new_pre.append(
-            _quantize_matrix(jnp.where(failed[idx + j], old, fresh)))
+      new_pre = list(state.preconditioners)
+      for ci in ids:
+        c = chunks[ci]
+        old = _matrix_to_float(state.preconditioners[c.slot])
+        if c.stacked:
+          fr = fresh[ci][:, :c.d, :c.d]
+          gate = failed[c.start:c.start + c.k]
+          new_pre[c.slot] = jnp.where(gate[:, None, None], old, fr)
+        else:
+          rows, cols = old.shape
+          fr = fresh[ci][0][:rows, :cols]
+          new_pre[c.slot] = _quantize_matrix(
+              jnp.where(failed[c.start], old, fr))
       if generate_training_metrics:
-        m = jax.tree.map(lambda x: x[idx:idx + count], metrics)
+        m = jax.tree.map(lambda x: x[first:first + count], metrics)
         # Keep stale metrics on skip steps so dashboards don't oscillate.
         if not (not scheduled and preconditioning_compute_steps == 1):
           m = tree_lazy_cond(perform_step, lambda mm=m: mm,
@@ -984,7 +1138,6 @@ def distributed_shampoo(
         m = optax.MaskedNode()
       new_states.append(
           state._replace(preconditioners=new_pre, training_metrics=m))
-      idx += count
     return new_states
 
   # ------------------------------------------------------ grad transform --
@@ -1026,8 +1179,11 @@ def distributed_shampoo(
 
     if not _skip_preconditioning(param):
       pre = preconditioner_from_params(param)
-      precond_grad = pre.preconditioned_grad(
-          grad, [_matrix_to_float(pm) for pm in state.preconditioners])
+      pres = [_matrix_to_float(pm) for pm in state.preconditioners]
+      if _is_stacked_state(state.preconditioners):
+        precond_grad = pre.preconditioned_grad_stacked(grad, pres)
+      else:
+        precond_grad = pre.preconditioned_grad(grad, pres)
     else:
       precond_grad = grafting_update
 

@@ -70,6 +70,25 @@ def pad_square_matrix(mat: Array, max_size: int) -> Array:
   return out.at[jnp.arange(rows, max_size), jnp.arange(rows, max_size)].set(1.0)
 
 
+def pad_square_stack(stack: Array, max_size: int) -> Array:
+  """Batched `pad_square_matrix`: ``[k, d, d] -> [k, max, max]``.
+
+  Each member becomes ``[[M, 0], [0, I]]`` — one fused pad + diagonal set
+  for the whole stack instead of ``k`` per-matrix pads.
+  """
+  k, rows, cols = stack.shape
+  if rows != cols:
+    raise ValueError(f"Must be square, got {rows}x{cols}")
+  if cols > max_size:
+    raise ValueError(f"Matrix size {cols} exceeds max_size {max_size}")
+  if rows == max_size:
+    return stack
+  out = jnp.zeros((k, max_size, max_size), dtype=stack.dtype)
+  out = out.at[:, :rows, :cols].set(stack)
+  idx = jnp.arange(rows, max_size)
+  return out.at[:, idx, idx].set(1.0)
+
+
 def pad_vector(vec: Array, max_size: int) -> Array:
   """Pad a vector with trailing zeros to ``max_size``."""
   size = vec.shape[0]

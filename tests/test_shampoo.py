@@ -68,22 +68,27 @@ class TestShampoo:
     assert w_stats.statistics[0].shape == (8, 8)
     assert w_stats.statistics[1].shape == (4, 4)
     assert w_stats.diagonal_statistics.shape == (4, 3)
-    # With merging off, [4,3] is one block with two axes.
+    # With merging off, [4,3] is one (uniform) block with two axes — the
+    # stacked layout keeps one [nb, d, d] array per preconditioned axis.
     tx2 = shampoo.distributed_shampoo(
         **COMMON, best_effort_shape_interpretation=False)
     state2 = tx2.init(params)
-    assert [s.shape for s in state2.stats["w"].statistics] == [(4, 4), (3, 3)]
+    assert [s.shape for s in state2.stats["w"].statistics] == [
+        (1, 4, 4), (1, 3, 3)]
 
   def test_blocking(self):
     params = {"w": jnp.zeros((10, 6))}
     tx = shampoo.distributed_shampoo(
         **{**COMMON, "block_size": 4}, best_effort_shape_interpretation=False)
     state = tx.init(params)
-    # 10 -> [4,4,2] x 6 -> [4,2]: 6 blocks x 2 axes = 12 statistics.
+    # 10 -> [4,4,2] x 6 -> [4,2]: 6 blocks x 2 axes = 12 statistics
+    # (ragged trailing blocks -> legacy per-block list layout).
     assert len(state.stats["w"].statistics) == 12
-    # With merging on, [10,6] merges to [60] first: 15 1-axis blocks.
+    # With merging on, [10,6] merges to [60] first: 15 uniform 1-axis
+    # blocks -> ONE stacked [15, 4, 4] statistics array.
     tx_m = shampoo.distributed_shampoo(**{**COMMON, "block_size": 4})
-    assert len(tx_m.init(params).stats["w"].statistics) == 15
+    stats_m = tx_m.init(params).stats["w"].statistics
+    assert len(stats_m) == 1 and stats_m[0].shape == (15, 4, 4)
 
   def test_preconditioning_compute_steps_gating(self):
     # With gating, preconditioners only refresh on multiples of k, but the
@@ -239,8 +244,10 @@ class TestShampoo:
         **{**COMMON, "block_size": 2, "merge_small_dims_block_size": 8},
         precondtioner_type=shampoo.PreconditionerType.INPUT)
     state = tx.init(params)
-    # 8x4 at block 2 -> 8 blocks, ONE [2,2] statistic each (input side).
-    assert len(state.stats["w"].statistics) == 8
+    # 8x4 at block 2 -> 8 blocks, ONE [2,2] statistic each (input side);
+    # uniform blocks -> one stacked [8, 2, 2] array for the single slot.
+    w_stats = state.stats["w"].statistics
+    assert len(w_stats) == 1 and w_stats[0].shape == (8, 2, 2)
     p = params
     for i in range(6):
       g = jax.tree.map(
