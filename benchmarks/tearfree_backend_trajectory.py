@@ -143,7 +143,7 @@ def main():
 
   t0 = time.time()
   runs = {}
-  for backend in ("eigh", "newton"):
+  for backend in ("eigh", "newton", "filtered"):
     for seed in (0, 1):
       label = f"{backend}_seed{seed}"
       t1 = time.time()
@@ -152,15 +152,22 @@ def main():
             f"({time.time() - t1:.0f}s)", flush=True)
 
   e0, e1 = (np.asarray(runs[f"eigh_seed{s}"]) for s in (0, 1))
-  n0, n1 = (np.asarray(runs[f"newton_seed{s}"]) for s in (0, 1))
   # Compare on the tail (post-warmup, preconditioning active).
   tail = slice(args.steps // 3, None)
-  gap_backend = float(np.mean([np.mean(np.abs(e0[tail] - n0[tail])),
-                               np.mean(np.abs(e1[tail] - n1[tail]))]))
-  gap_noise = float(np.mean([np.mean(np.abs(e0[tail] - e1[tail])),
-                             np.mean(np.abs(n0[tail] - n1[tail]))]))
-  verdict = "agree_within_noise" if gap_backend <= 3.0 * gap_noise else (
-      "diverge")
+  gap_noise = float(np.mean(np.abs(e0[tail] - e1[tail])))
+
+  def _gap_and_verdict(backend):
+    b0, b1 = (np.asarray(runs[f"{backend}_seed{s}"]) for s in (0, 1))
+    gap = float(np.mean([np.mean(np.abs(e0[tail] - b0[tail])),
+                         np.mean(np.abs(e1[tail] - b1[tail]))]))
+    noise = float(np.mean([np.mean(np.abs(e0[tail] - e1[tail])),
+                           np.mean(np.abs(b0[tail] - b1[tail]))]))
+    verdict = "agree_within_noise" if gap <= 3.0 * noise else "diverge"
+    return gap, noise, verdict
+
+  gap_newton, noise_newton, verdict_newton = _gap_and_verdict("newton")
+  gap_filtered, noise_filtered, verdict_filtered = _gap_and_verdict(
+      "filtered")
 
   artifact = {
       "platform": jax.devices()[0].platform,
@@ -171,9 +178,12 @@ def main():
       "final_loss": {k: v[-1] for k, v in runs.items()},
       "mean_tail_loss": {k: float(np.mean(np.asarray(v)[tail]))
                          for k, v in runs.items()},
-      "gap_eigh_vs_newton": gap_backend,
-      "gap_seed_noise": gap_noise,
-      "verdict": verdict,
+      "gap_eigh_vs_newton": gap_newton,
+      "gap_seed_noise": noise_newton,
+      "verdict": verdict_newton,
+      "gap_eigh_vs_filtered": gap_filtered,
+      "gap_seed_noise_filtered": noise_filtered,
+      "verdict_filtered": verdict_filtered,
       "loss_curves_every10": {k: [round(x, 4) for x in v[::10]]
                               for k, v in runs.items()},
       "elapsed_s": round(time.time() - t0, 1),
@@ -181,7 +191,8 @@ def main():
   with open(args.out, "w") as f:
     json.dump(artifact, f, indent=1)
   print(json.dumps({k: artifact[k] for k in (
-      "gap_eigh_vs_newton", "gap_seed_noise", "verdict", "final_loss")}))
+      "gap_eigh_vs_newton", "gap_eigh_vs_filtered", "gap_seed_noise",
+      "verdict", "verdict_filtered", "final_loss")}))
 
 
 if __name__ == "__main__":

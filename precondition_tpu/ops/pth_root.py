@@ -440,8 +440,12 @@ def matrix_inverse_pth_root(
       else:
         ridge_i = ridge * (10.0 ** i)
       damped = matrix + ridge_i * identity
-      # z scales the spectrum into the Newton basin of attraction.
-      z = (1 + p) / (2 * jnp.linalg.norm(damped))
+      # z scales the spectrum into the Newton basin of attraction.  The
+      # norm clamp guards the all-zero-statistics corner in f32: with a
+      # ~1e-31 relative ridge the squared Frobenius sum underflows to 0
+      # and an unclamped z goes inf -> NaN (f64, the reference's dtype,
+      # never hits this).
+      z = (1 + p) / (2 * jnp.maximum(jnp.linalg.norm(damped), _EPSILON))
       m0 = damped * z
       h0 = identity * jnp.power(z, 1.0 / p)
       if warm:
@@ -623,6 +627,64 @@ def matrix_inverse_pth_root_eigh(
         inverse_pth_root_diagnostics=uncond,
         conditioned_inverse_pth_root_diagnostics=InversePthRootDiagnostics())
   return root.astype(orig_dtype), metrics
+
+
+def batched_spectral_projector(
+    stats: Array,
+    thresholds: Array,
+    max_evs: Array,
+    num_iters: int = 26,
+    precision: lax.Precision = lax.Precision.HIGHEST,
+) -> Array:
+  """Smooth spectral projector ``P ~= 1{eig(A) > threshold}``, batched.
+
+  Matmul-only construction of the step function of a symmetric matrix —
+  the TPU-native route to eigh-style null-space masking without an
+  eigendecomposition.  On ``B_0 = (A - t I) / s`` (spectrum in [-1, 1] for
+  ``s >~ lambda_max``) iterate the Newton–Schulz quintic for the matrix
+  sign function::
+
+      f(x) = (15 x - 10 x^3 + 3 x^5) / 8
+
+  ``f`` maps [-1, 1] into itself monotonically (``f'(x) =
+  15 (1 - x^2)^2 / 8 >= 0``, ``f(1) = 1``) with slope 15/8 at the origin,
+  so ``f^k(B_0) -> sign(A - t I)`` and ``P = (I + S) / 2`` is the
+  projector onto eigenvalues above ``t``.  Eigenvalues at distance
+  ``delta`` (relative) from the threshold resolve after
+  ``log(1/delta) / log(15/8)`` iterations: the default 26 sharpens the
+  transition to ~1e-7 — one decade past the 1e-6 relative clip the
+  tearfree eigh backend applies
+  (`/root/reference/precondition/tearfree/shampoo.py:466-474`).
+
+  Each iteration is 3 batched ``[N, d, d]`` matmuls (``B^2``, ``B^4``, and
+  the polynomial application), which pipeline through the MXU; at the
+  production [712, 128, 128] batch the full 26-iteration filter costs
+  ~78 batched matmuls ~= a quarter of one cold coupled-Newton solve.
+
+  Args:
+    stats: ``[N, d, d]`` symmetric batch.
+    thresholds: ``[N]`` absolute eigenvalue cutoffs (e.g. ``eps * λmax``).
+    max_evs: ``[N]`` top-eigenvalue estimates used to scale the spectrum
+      into the iteration's basin ([-1, 1]; a 5% margin absorbs loose
+      power-iteration estimates, and overshoot up to ~1.3 is contracted
+      back since f'(1) = 0).
+    num_iters: sign-iteration count (static; unrolled into the fori_loop).
+
+  Returns:
+    ``[N, d, d]`` symmetric projector batch with eigenvalues in [0, 1].
+  """
+  eye = jnp.eye(stats.shape[-1], dtype=stats.dtype)
+  scale = jnp.maximum(1.05 * max_evs, _EPSILON)[:, None, None]
+  b0 = (stats - thresholds[:, None, None] * eye) / scale
+
+  def body(_, b):
+    c = jnp.einsum("nij,njk->nik", b, b, precision=precision)
+    c2 = jnp.einsum("nij,njk->nik", c, c, precision=precision)
+    poly = 1.875 * eye - 1.25 * c + 0.375 * c2
+    return jnp.einsum("nij,njk->nik", b, poly, precision=precision)
+
+  sign = lax.fori_loop(0, num_iters, body, b0)
+  return 0.5 * (sign + eye)
 
 
 # Unified entry point used by the optimizer layers.

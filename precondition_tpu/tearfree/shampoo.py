@@ -40,39 +40,44 @@ class Options:
     update_statistics_freq: steps between statistics updates.
     second_moment_decay: EMA decay for statistics (1.0 = running sum).
     solver_backend: how the batched inverse roots are computed.
-      ``"eigh"`` (default, upstream-parity semantics) eigendecomposes and
-      treats eigenvalues below ``1e-6 * lambda_max`` as exactly zero —
-      pseudo-inverse-root behavior on rank-deficient early-training
-      covariances.  ``"newton"`` runs the coupled-Newton solver instead
-      (the Pallas tile kernel on TPU for supported block sizes, the
-      batched XLA iteration elsewhere) — measured ~14x faster than the
-      batched eigh on TPU v5e at the [712,128,128] batch
-      (`KERNELS_TPU.json` xla path 28 ms vs eigh 399 ms,
-      `STEP_BREAKDOWN_TPU.json`) — with distributed_shampoo-style
-      regularization semantics: near-null directions get
-      ``(w + 1e-6 * lambda_max)^{-1/p}`` rather than zero, i.e. the
-      ridge inverse-root the flagship optimizer uses everywhere.  The
-      two agree wherever the spectrum is numerically full-rank.
 
-      The default stays ``"eigh"`` as a MEASURED decision, not just for
-      upstream parity: on an 800-step byte-LM trajectory (the repo
-      transformer on the committed fixture corpora, 2 seeds per backend,
-      `benchmarks/tearfree_backend_trajectory.py`,
-      `TEARFREE_BACKEND_TRAJ.json`) the newton backend's tail loss sat
-      5.1x seed-noise above eigh's (mean tail gap 0.125 vs 0.024 noise):
-      the ridge root's ~eps^{-1/p} weighting of near-null directions
-      (~30x at p=4, eps=1e-6) measurably degrades early-training update
-      quality, where eigh's zero-clip ignores them.  Opt into
-      ``"newton"`` when the solve dominates the step and the
-      preconditioning interval or a later ``start_preconditioning_step``
-      keeps rank-deficient covariances out of the solve.
+      ``"eigh"`` (upstream-parity semantics) eigendecomposes and treats
+      eigenvalues below ``1e-6 * lambda_max`` as exactly zero —
+      pseudo-inverse-root behavior on rank-deficient early-training
+      covariances.  Exact but slow on TPU (batched eigh measured 400 ms
+      at the [712,128,128] fixture, `STEP_BREAKDOWN_TPU.json`).
+
+      ``"newton"`` runs the coupled-Newton solver (the Pallas tile
+      kernel on TPU for supported block sizes, the batched XLA iteration
+      elsewhere) with distributed_shampoo-style ridge semantics:
+      near-null directions get ``(w + 1e-6 * lambda_max)^{-1/p}`` rather
+      than zero.  ~14x eigh's TPU throughput, but MEASURED to degrade
+      early-training trajectories (round-4
+      `TEARFREE_BACKEND_TRAJ.json`: tail-loss gap 5.1x seed noise —
+      the ridge root's ~eps^{-1/p} ~= 30x weighting of near-null
+      directions amplifies unlearned-direction noise that eigh's
+      zero-clip ignores).  Opt in only when the preconditioning interval
+      or a late ``start_preconditioning_step`` keeps rank-deficient
+      covariances out of the solve.
+
+      ``"filtered"`` reproduces eigh's zero-clip at Newton speed: the
+      same coupled-Newton ridge root composed with a matmul-only smooth
+      spectral projector onto eigenvalues above ``1e-6 * lambda_max``
+      (`ops.pth_root.batched_spectral_projector`, Newton–Schulz sign
+      iteration).  Trajectory-parity gated: the same 800-step byte-LM
+      experiment shows its tail-loss gap to eigh *within* the seed-noise
+      band (`TEARFREE_BACKEND_TRAJ.json`, filtered rows).
+
+      ``"auto"`` (default) resolves at trace time to ``"filtered"`` on
+      TPU and ``"eigh"`` elsewhere — eigh-clip semantics everywhere, at
+      the fast solver's cost on the hardware where it matters.
   """
 
   block_size: int = 1024
   update_preconditioners_freq: int = 1
   update_statistics_freq: int = 1
   second_moment_decay: float = 0.999
-  solver_backend: str = "eigh"
+  solver_backend: str = "auto"
 
 
 def _validate(options: Options) -> None:
@@ -90,10 +95,10 @@ def _validate(options: Options) -> None:
     raise ValueError(
         f"second_moment_decay ({options.second_moment_decay}) "
         "should be in [0, 1]")
-  if options.solver_backend not in ("eigh", "newton"):
+  if options.solver_backend not in ("eigh", "newton", "filtered", "auto"):
     raise ValueError(
-        f"solver_backend ({options.solver_backend!r}) must be 'eigh' or "
-        "'newton'")
+        f"solver_backend ({options.solver_backend!r}) must be one of "
+        "'eigh', 'newton', 'filtered', 'auto'")
 
 
 class _AxesBlocks(NamedTuple):
@@ -248,6 +253,32 @@ def _pth_inv_root(p: int, cov: jax.Array) -> jax.Array:
   return jnp.einsum("...ik,...jk->...ij", half_v, half_v)
 
 
+def _batched_max_evs(cov: jax.Array, pads: jax.Array) -> jax.Array:
+  """Fleet-wide batched top eigenvalues (loose 1% relative exit)."""
+  from precondition_tpu.ops import pth_root
+
+  return jax.vmap(
+      lambda s, dd: pth_root.power_iteration(
+          s, padding_start=dd, error_tolerance=1e-2,
+          relative_tolerance=True)[1])(cov, pads)
+
+
+def _batched_ridge_root(p: int, cov: jax.Array, pads, max_evs) -> jax.Array:
+  """Batched ridge-regularized ``cov^{-1/p}``: Pallas tile kernel on TPU
+  for supported block sizes, the batched XLA coupled Newton elsewhere."""
+  from precondition_tpu.ops import pth_root
+
+  if jax.default_backend() == "tpu":
+    from precondition_tpu.ops.pallas import newton_root
+
+    if newton_root.supported(cov.shape[-1]):
+      roots, _ = newton_root.batched_inverse_pth_root_pallas(
+          cov, p, pads, max_evs=max_evs)
+      return roots
+  roots, _ = pth_root.batched_inverse_pth_root(cov, p, pads)
+  return roots
+
+
 def _newton_inv_root(p: int, cov: jax.Array) -> jax.Array:
   """Batched coupled-Newton ``cov^{-1/p}`` (ridge-regularized semantics).
 
@@ -256,28 +287,73 @@ def _newton_inv_root(p: int, cov: jax.Array) -> jax.Array:
   `optim/shampoo._solve_batched`); elsewhere the batched XLA iteration
   runs.  ~14x the batched eigh's TPU throughput at production shapes.
   """
+  n, d = cov.shape[0], cov.shape[-1]
+  pads = jnp.full((n,), d, jnp.int32)
+  max_evs = None
+  if jax.default_backend() == "tpu":
+    max_evs = _batched_max_evs(cov, pads)
+  return _batched_ridge_root(p, cov, pads, max_evs)
+
+
+def _filtered_inv_root(p: int, cov: jax.Array) -> jax.Array:
+  """eigh null-space semantics at coupled-Newton speed.
+
+  The eigh backend's distinguishing behaviour is the zero-clip: directions
+  with eigenvalue ``<= 1e-6 * lambda_max`` contribute NOTHING to the
+  preconditioned update, where the plain ridge root weights them
+  ``~eps^{-1/p}`` (~30x the top-eigenvalue weight at p=4) — measured to
+  degrade early-training trajectories (`TEARFREE_BACKEND_TRAJ.json`, the
+  round-4 "diverge" verdict on the plain newton backend).  This backend
+  reproduces the clip without an eigendecomposition:
+
+    1. batched coupled-Newton ridge root ``R ~= (A + eps λmax I)^{-1/p}``
+       (the Pallas tile kernel on TPU);
+    2. a matmul-only smooth spectral projector ``P ~= 1{eig(A) > eps
+       λmax}`` (`pth_root.batched_spectral_projector`, Newton–Schulz sign
+       iteration);
+    3. ``P R P`` — P and R are both (limits of) polynomials in A, so they
+       commute and the product zero-clips exactly the directions eigh
+       drops, while kept directions keep the Newton root's value.
+
+  Everything is batched ``[N, d, d]`` matmuls: the whole construction maps
+  onto the MXU with no per-matrix factorization.  Semantics target:
+  `/root/reference/precondition/tearfree/shampoo.py:466-474`.
+  """
   from precondition_tpu.ops import pth_root
 
   n, d = cov.shape[0], cov.shape[-1]
   pads = jnp.full((n,), d, jnp.int32)
-  if jax.default_backend() == "tpu":
-    from precondition_tpu.ops.pallas import newton_root
+  eps = 1e-6
+  max_evs = _batched_max_evs(cov, pads)
+  roots = _batched_ridge_root(p, cov, pads, max_evs)
+  proj = pth_root.batched_spectral_projector(cov, eps * max_evs, max_evs)
+  out = jnp.einsum("nij,njk,nkl->nil", proj, roots.astype(proj.dtype), proj)
+  out = 0.5 * (out + jnp.swapaxes(out, 1, 2))
+  # A zero covariance (step-0 state) has lambda_max == 0: eigh masks every
+  # direction and returns 0; match that exactly rather than P R P's
+  # (huge ridge root) x (half projector).
+  return out * (max_evs > 0.0)[:, None, None]
 
-    if newton_root.supported(d):
-      max_evs = jax.vmap(
-          lambda s, dd: pth_root.power_iteration(
-              s, padding_start=dd, relative_tolerance=True)[1])(cov, pads)
-      roots, _ = newton_root.batched_inverse_pth_root_pallas(
-          cov, p, pads, max_evs=max_evs)
-      return roots
-  roots, _ = pth_root.batched_inverse_pth_root(cov, p, pads)
-  return roots
+
+_SOLVER_FNS = {
+    "eigh": _pth_inv_root,
+    "newton": _newton_inv_root,
+    "filtered": _filtered_inv_root,
+}
+
+
+def _resolve_solver(solver: str) -> str:
+  """Resolve ``"auto"`` at trace time: the filtered backend on TPU (fast
+  AND eigh-clip semantics), the exact eigh factorization elsewhere."""
+  if solver == "auto":
+    return "filtered" if jax.default_backend() == "tpu" else "eigh"
+  return solver
 
 
 def _update_block_precond(block: _AxesBlocks, meta: _BlocksMeta,
                           solver: str = "eigh") -> _AxesBlocks:
   p = len(meta.param_shape) * 2
-  inv_root = _pth_inv_root if solver == "eigh" else _newton_inv_root
+  inv_root = _SOLVER_FNS[_resolve_solver(solver)]
   with jax.named_scope("PthInvRoot"):
     new_roots = [inv_root(p, s) for s in block.stats]
   return _AxesBlocks(stats=block.stats, roots=new_roots)

@@ -349,3 +349,45 @@ class TestWarmStart:
     np.testing.assert_allclose(warm, ref, rtol=1e-3, atol=1e-4)
     assert float(jnp.max(m_warm.iterations)) <= float(
         jnp.max(m_ref.iterations))
+
+
+class TestSpectralProjector:
+  """Matmul-only smooth step function of a symmetric matrix."""
+
+  def test_projects_onto_above_threshold_eigenspace(self):
+    rng = np.random.RandomState(11)
+    d, n = 24, 4
+    covs = []
+    for _ in range(n):
+      q = scipy.stats.ortho_group.rvs(dim=d, random_state=rng)
+      # Eigenvalues split cleanly across the threshold: huge vs tiny.
+      w = np.where(rng.rand(d) > 0.5, np.exp(rng.rand(d) * 3),
+                   1e-9 * rng.rand(d))
+      covs.append((q * w).dot(q.T).astype(np.float32))
+    covs = jnp.asarray(np.stack(covs))
+    maxevs = jnp.asarray([np.linalg.eigvalsh(c)[-1] for c in covs],
+                         jnp.float32)
+    proj = np.asarray(pth_root.batched_spectral_projector(
+        covs, 1e-6 * maxevs, maxevs))
+    for c, p in zip(np.asarray(covs), proj):
+      w, u = np.linalg.eigh(np.asarray(c, np.float64))
+      # In the matrix's own eigenbasis the projector must be ~diag(mask),
+      # with the mask read off the actual (f32-rounded) spectrum.
+      mask = w > 1e-6 * w.max()
+      diag = np.diag(u.T @ p @ u)
+      np.testing.assert_allclose(diag, mask.astype(float), atol=5e-3)
+      # Off-diagonal leakage stays small (P is a polynomial of C).
+      off = u.T @ p @ u - np.diag(diag)
+      assert np.max(np.abs(off)) < 1e-2
+
+  def test_projector_idempotent_and_symmetric(self):
+    rng = np.random.RandomState(12)
+    g = rng.randn(3, 16, 40).astype(np.float32)
+    covs = jnp.einsum("nif,njf->nij", g, g)
+    maxevs = jnp.asarray([np.linalg.eigvalsh(c)[-1] for c in covs],
+                         jnp.float32)
+    proj = np.asarray(pth_root.batched_spectral_projector(
+        covs, 1e-6 * maxevs, maxevs))
+    for p in proj:
+      np.testing.assert_allclose(p, p.T, atol=1e-5)
+      np.testing.assert_allclose(p @ p, p, atol=5e-3)

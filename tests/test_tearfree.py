@@ -156,6 +156,60 @@ class TestNewtonSolverBackend:
       shampoo.apply(shampoo.Options(solver_backend="nope"))
 
 
+class TestFilteredSolverBackend:
+  """The eigh-null-space-semantics fast root (projector x Newton)."""
+
+  def test_filtered_matches_eigh_on_rank_deficient_stats(self):
+    # THE distinguishing case: rank-deficient covariances, where the plain
+    # ridge (newton) root blows null directions up by ~eps^{-1/p} while
+    # eigh zero-clips them.  The filtered backend must stay on eigh's side.
+    rng = np.random.RandomState(7)
+    d, n = 32, 6
+    mats = []
+    for _ in range(n):
+      u = np.linalg.qr(rng.randn(d, d))[0].astype(np.float32)
+      w = np.zeros(d, np.float32)
+      w[:12] = np.exp(rng.rand(12) * 4).astype(np.float32)
+      mats.append(u @ np.diag(w) @ u.T)
+    cov = jnp.asarray(np.stack(mats))
+    for p in (2, 4):
+      eigh_roots = np.asarray(shampoo._pth_inv_root(p, cov))
+      filt_roots = np.asarray(shampoo._filtered_inv_root(p, cov))
+      newton_roots = np.asarray(shampoo._newton_inv_root(p, cov))
+      scale = np.max(np.abs(eigh_roots))
+      # Filtered tracks eigh to a few percent (the kept modes' ridge
+      # shift); the plain ridge root does not even come close.
+      assert np.max(np.abs(eigh_roots - filt_roots)) < 0.05 * scale
+      assert np.max(np.abs(eigh_roots - newton_roots)) > 2.0 * scale
+
+  def test_filtered_zero_covariance_zero_root(self):
+    # Step-0 state: eigh masks everything on a zero covariance; the
+    # filtered backend must match (not emit the huge tiny-ridge root).
+    z = jnp.zeros((2, 8, 8), jnp.float32)
+    assert float(jnp.max(jnp.abs(shampoo._filtered_inv_root(4, z)))) == 0.0
+
+  def test_filtered_trajectory_tracks_eigh(self):
+    rng = np.random.RandomState(8)
+    params = {"w": jnp.asarray(rng.randn(8, 8) * 0.3, jnp.float32)}
+    kw = dict(block_size=8, second_moment_decay=0.9)
+    tx_e = shampoo.apply(shampoo.Options(**kw, solver_backend="eigh"))
+    tx_f = shampoo.apply(shampoo.Options(**kw, solver_backend="filtered"))
+    se, sf = tx_e.init(params), tx_f.init(params)
+    for i in range(6):
+      g = {"w": jnp.asarray(rng.randn(8, 8) * 0.1, jnp.float32)}
+      ue, se = tx_e.update(g, se, params)
+      uf, sf = tx_f.update(g, sf, params)
+      chex.assert_tree_all_finite(uf)
+      # Unlike the ridge backend (which needs full-rank stats), the
+      # filtered backend tracks eigh from the rank-deficient start.
+      chex.assert_trees_all_close(ue, uf, rtol=0.1, atol=5e-3)
+
+  def test_auto_resolves_to_eigh_off_tpu(self):
+    assert shampoo._resolve_solver("auto") in ("eigh", "filtered")
+    if jax.default_backend() != "tpu":
+      assert shampoo._resolve_solver("auto") == "eigh"
+
+
 class TestReshaper:
 
   def test_merge_pad_roundtrip(self):
