@@ -48,6 +48,16 @@ from precondition_tpu.utils.diagnostics import (
 Array = jax.Array
 _EPSILON = 1e-25
 
+# Cold-solve power-iteration exit policy knob.  None = the reference's
+# tight absolute 1e-6 exit; a float = loose RELATIVE exit at that
+# tolerance.  The TPU fleet paths (`optim/shampoo._solve_batched`, the
+# Pallas wrapper) adopt the loose 1% policy after measurement
+# (SOLVE_GAP_PROBE.json: 22.6 -> 1.8 ms at identical root errors); this
+# module-level knob lets `benchmarks/pi_policy_trajectory.py` A/B the
+# same policy on CPU training trajectories, guarding it against
+# ill-conditioned regimes the probe batch doesn't cover.
+COLD_POWER_ITERATION_TOLERANCE = None
+
 # Default Newton chunk size when `newton_unroll` is not passed explicitly.
 # Chunking amortises the vmapped-while select/copy overhead but multiplies
 # compute for fast-converging solves: measured 37->28 ms on a slow-converging
@@ -102,6 +112,7 @@ def power_iteration(
     padding_start: Union[int, Array, None] = None,
     key: Optional[Array] = None,
     relative_tolerance: bool = False,
+    relative_floor: float = 1.0,
 ) -> Tuple[Array, Array]:
   """Top eigenpair of a symmetric PSD matrix by power iteration.
 
@@ -135,8 +146,13 @@ def power_iteration(
     if relative_tolerance:
       # The eigenvalue only scales the relative ridge; an absolute 1e-6
       # tolerance over-iterates (each matvec re-reads the matrix from HBM).
+      # ``relative_floor=1.0`` makes sub-unit eigenvalues exit immediately
+      # (fine for ridge scaling, where a low estimate only shrinks the
+      # ridge); pass 0.0 for a genuinely relative exit when the estimate
+      # feeds something that needs its magnitude (e.g. the spectral-filter
+      # threshold).
       not_done = jnp.abs(ev_new - ev) > error_tolerance * jnp.maximum(
-          jnp.abs(ev_new), 1.0)
+          jnp.abs(ev_new), relative_floor)
     else:
       not_done = jnp.abs(ev_new - ev) > error_tolerance
     return (i + 1, mv, ev_new, not_done)
@@ -360,12 +376,16 @@ def matrix_inverse_pth_root(
         # matvecs to a handful.  A 1% ridge shift moves the root by
         # <= 0.25% in ridge-dominated directions — far inside the warm
         # certificate's 0.05 acceptance bound.  Cold solves keep the
-        # reference's tight absolute exit for trajectory parity.
+        # reference's tight absolute exit here unless the module-level
+        # policy knob opts into the measured loose policy (see
+        # COLD_POWER_ITERATION_TOLERANCE).
+        cold_tol = COLD_POWER_ITERATION_TOLERANCE
+        loose = warm or cold_tol is not None
         _, max_ev = power_iteration(
             matrix, num_iters=100,
-            error_tolerance=1e-2 if warm else 1e-6,
+            error_tolerance=1e-2 if warm else (cold_tol or 1e-6),
             precision=precision, padding_start=padding_start,
-            relative_tolerance=warm)
+            relative_tolerance=loose)
   else:
     max_ev = jnp.asarray(1.0, work)
   ridge = ridge_epsilon * jnp.maximum(max_ev, _EPSILON)
@@ -632,8 +652,7 @@ def matrix_inverse_pth_root_eigh(
 def batched_spectral_projector(
     stats: Array,
     thresholds: Array,
-    max_evs: Array,
-    num_iters: int = 26,
+    num_iters: int = 30,
     precision: lax.Precision = lax.Precision.HIGHEST,
 ) -> Array:
   """Smooth spectral projector ``P ~= 1{eig(A) > threshold}``, batched.
@@ -650,31 +669,44 @@ def batched_spectral_projector(
   15 (1 - x^2)^2 / 8 >= 0``, ``f(1) = 1``) with slope 15/8 at the origin,
   so ``f^k(B_0) -> sign(A - t I)`` and ``P = (I + S) / 2`` is the
   projector onto eigenvalues above ``t``.  Eigenvalues at distance
-  ``delta`` (relative) from the threshold resolve after
-  ``log(1/delta) / log(15/8)`` iterations: the default 26 sharpens the
-  transition to ~1e-7 — one decade past the 1e-6 relative clip the
-  tearfree eigh backend applies
-  (`/root/reference/precondition/tearfree/shampoo.py:466-474`).
+  ``delta`` (relative to the scale) from the threshold resolve after
+  ``log(1/delta) / log(15/8)`` iterations; the default 30 covers the
+  1e-6 relative clip the tearfree eigh backend applies
+  (`/root/reference/precondition/tearfree/shampoo.py:466-474`) with
+  slack for the norm-bound scaling below.
+
+  STABILITY: the spectrum scaling uses a GUARANTEED upper bound on the
+  top eigenvalue — ``min(||A||_F, ||A||_inf)``, both >= lambda_max for
+  symmetric A — never an iterative estimate.  The quintic diverges
+  double-exponentially for |x| >~ 1.3, so any materially low estimate
+  (e.g. a loose power-iteration exit on an early-training covariance
+  with lambda_max << 1, where an absolute exit floor triggers
+  immediately) is fatal, not degraded; a norm bound can only
+  OVERestimate, which merely costs ~log_{15/8}(bound/lambda_max) extra
+  iterations (<= ~5 at d=128).
 
   Each iteration is 3 batched ``[N, d, d]`` matmuls (``B^2``, ``B^4``, and
   the polynomial application), which pipeline through the MXU; at the
-  production [712, 128, 128] batch the full 26-iteration filter costs
-  ~78 batched matmuls ~= a quarter of one cold coupled-Newton solve.
+  production [712, 128, 128] batch the full 30-iteration filter costs
+  ~90 batched matmuls ~= a third of one cold coupled-Newton solve.
 
   Args:
     stats: ``[N, d, d]`` symmetric batch.
     thresholds: ``[N]`` absolute eigenvalue cutoffs (e.g. ``eps * λmax``).
-    max_evs: ``[N]`` top-eigenvalue estimates used to scale the spectrum
-      into the iteration's basin ([-1, 1]; a 5% margin absorbs loose
-      power-iteration estimates, and overshoot up to ~1.3 is contracted
-      back since f'(1) = 0).
-    num_iters: sign-iteration count (static; unrolled into the fori_loop).
+    num_iters: sign-iteration count (static).
 
   Returns:
     ``[N, d, d]`` symmetric projector batch with eigenvalues in [0, 1].
   """
   eye = jnp.eye(stats.shape[-1], dtype=stats.dtype)
-  scale = jnp.maximum(1.05 * max_evs, _EPSILON)[:, None, None]
+  fro = jnp.sqrt(jnp.sum(jnp.square(stats), axis=(1, 2)))
+  infn = jnp.max(jnp.sum(jnp.abs(stats), axis=2), axis=1)
+  bound = jnp.minimum(fro, infn)
+  # The shifted matrix's extremes are lambda_max - t (above) and -t
+  # (below); bound >= lambda_max >= both magnitudes for t >= 0, and the
+  # threshold term keeps the negative end in basin even if t > bound.
+  scale = jnp.maximum(jnp.maximum(bound, thresholds), _EPSILON)[
+      :, None, None]
   b0 = (stats - thresholds[:, None, None] * eye) / scale
 
   def body(_, b):

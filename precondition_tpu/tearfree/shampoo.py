@@ -254,13 +254,19 @@ def _pth_inv_root(p: int, cov: jax.Array) -> jax.Array:
 
 
 def _batched_max_evs(cov: jax.Array, pads: jax.Array) -> jax.Array:
-  """Fleet-wide batched top eigenvalues (loose 1% relative exit)."""
+  """Fleet-wide batched top eigenvalues (loose 1% relative exit).
+
+  ``relative_floor=0``: early-training covariances have lambda_max << 1,
+  where the ridge paths' usual max(|ev|, 1) exit floor returns after one
+  iteration with a gross underestimate — harmless for a ridge, fatal for
+  the filtered backend's clip threshold.
+  """
   from precondition_tpu.ops import pth_root
 
   return jax.vmap(
       lambda s, dd: pth_root.power_iteration(
           s, padding_start=dd, error_tolerance=1e-2,
-          relative_tolerance=True)[1])(cov, pads)
+          relative_tolerance=True, relative_floor=0.0)[1])(cov, pads)
 
 
 def _batched_ridge_root(p: int, cov: jax.Array, pads, max_evs) -> jax.Array:
@@ -326,7 +332,7 @@ def _filtered_inv_root(p: int, cov: jax.Array) -> jax.Array:
   eps = 1e-6
   max_evs = _batched_max_evs(cov, pads)
   roots = _batched_ridge_root(p, cov, pads, max_evs)
-  proj = pth_root.batched_spectral_projector(cov, eps * max_evs, max_evs)
+  proj = pth_root.batched_spectral_projector(cov, eps * max_evs)
   out = jnp.einsum("nij,njk,nkl->nil", proj, roots.astype(proj.dtype), proj)
   out = 0.5 * (out + jnp.swapaxes(out, 1, 2))
   # A zero covariance (step-0 state) has lambda_max == 0: eigh masks every

@@ -368,7 +368,7 @@ class TestSpectralProjector:
     maxevs = jnp.asarray([np.linalg.eigvalsh(c)[-1] for c in covs],
                          jnp.float32)
     proj = np.asarray(pth_root.batched_spectral_projector(
-        covs, 1e-6 * maxevs, maxevs))
+        covs, 1e-6 * maxevs))
     for c, p in zip(np.asarray(covs), proj):
       w, u = np.linalg.eigh(np.asarray(c, np.float64))
       # In the matrix's own eigenbasis the projector must be ~diag(mask),
@@ -387,7 +387,7 @@ class TestSpectralProjector:
     maxevs = jnp.asarray([np.linalg.eigvalsh(c)[-1] for c in covs],
                          jnp.float32)
     proj = np.asarray(pth_root.batched_spectral_projector(
-        covs, 1e-6 * maxevs, maxevs))
+        covs, 1e-6 * maxevs))
     for p in proj:
       np.testing.assert_allclose(p, p.T, atol=1e-5)
       np.testing.assert_allclose(p @ p, p, atol=5e-3)

@@ -182,6 +182,26 @@ class TestFilteredSolverBackend:
       assert np.max(np.abs(eigh_roots - filt_roots)) < 0.05 * scale
       assert np.max(np.abs(eigh_roots - newton_roots)) > 2.0 * scale
 
+  def test_filtered_tiny_early_training_covariances(self):
+    """Regression: lambda_max << 1 rank-deficient stats (the state a few
+    steps into training).  A loose power-iteration estimate used as the
+    sign-iteration scale diverged here (spectrum >> 1 -> NaN within ~5
+    iterations); the norm-bound scaling must stay finite and on eigh."""
+    rng = np.random.RandomState(9)
+    d, n = 64, 4
+    mats = []
+    for _ in range(n):
+      u = np.linalg.qr(rng.randn(d, d))[0].astype(np.float32)
+      w = np.zeros(d, np.float32)
+      w[:5] = 1e-7 * np.exp(rng.rand(5) * 2).astype(np.float32)
+      mats.append(u @ np.diag(w) @ u.T)
+    cov = jnp.asarray(np.stack(mats))
+    eigh_roots = np.asarray(shampoo._pth_inv_root(4, cov))
+    filt_roots = np.asarray(shampoo._filtered_inv_root(4, cov))
+    assert np.isfinite(filt_roots).all()
+    scale = np.max(np.abs(eigh_roots))
+    assert np.max(np.abs(eigh_roots - filt_roots)) < 0.05 * scale
+
   def test_filtered_zero_covariance_zero_root(self):
     # Step-0 state: eigh masks everything on a zero covariance; the
     # filtered backend must match (not emit the huge tiny-ridge root).
