@@ -6,6 +6,14 @@ teacher-forces the prompt tokens through the jit'd decode step to fill the
 cache, then greedily decodes until the length budget or an end token.  The
 whole decode loop is one `lax.while_loop` under jit — no per-token host
 round trips.
+
+Multi-chip: pass a ``jax.sharding.Mesh`` (axis ``data_axis``, default
+``"data"``) and the sampler shards the batch — tokens, done flags, and
+every layer's KV cache — over that axis (the reference's cache sharding:
+`deconstructed_sampler.py:157-160`, there via a 1-D mesh + NamedSharding).
+Decode is then SPMD: each device holds its batch slice's cache and decodes
+locally; no collectives are needed until the host gathers the final
+tokens.  Batches are padded to a multiple of the axis size.
 """
 
 from __future__ import annotations
@@ -38,17 +46,35 @@ class Sampler:
   params: dict
   eos_id: int = 1
   pad_id: int = 0
+  mesh: Optional[jax.sharding.Mesh] = None
+  data_axis: str = "data"
 
   def __post_init__(self):
     # total_len and eos_id are static (they size the cache / the scan).
-    self._step = jax.jit(functools.partial(self._sample_scan, self.cfg),
-                         static_argnums=(3, 4))
+    self._step = jax.jit(
+        functools.partial(self._sample_scan, self.cfg, self._batch_sharding()),
+        static_argnums=(3, 4))
+
+  def _batch_sharding(self):
+    if self.mesh is None:
+      return None
+    return jax.sharding.NamedSharding(
+        self.mesh, jax.sharding.PartitionSpec(self.data_axis))
 
   @staticmethod
-  def _sample_scan(cfg, params, tokens, prompt_len, total_len, eos_id):
+  def _sample_scan(cfg, batch_sharding, params, tokens, prompt_len,
+                   total_len, eos_id):
     """Teacher-force prompt then greedy-decode, all inside jit."""
     b = tokens.shape[0]
     caches = transformer.init_cache(cfg, b, total_len)
+    if batch_sharding is not None:
+      # Pin the whole sampling state's batch axis to the mesh: the KV
+      # caches ([b, t, heads, head_dim]) live sharded for the entire
+      # decode loop, so each device holds and updates only its slice.
+      caches = jax.tree.map(
+          lambda c: jax.lax.with_sharding_constraint(c, batch_sharding),
+          caches)
+      tokens = jax.lax.with_sharding_constraint(tokens, batch_sharding)
 
     def body(state: SamplingState) -> SamplingState:
       pos = state.pos
@@ -79,15 +105,22 @@ class Sampler:
     max_prompt = max(len(p) for p in prompts)
     total_len = min(max_prompt + max_new_tokens, self.cfg.max_seq_len)
     b = len(prompts)
-    tokens = np.full((b, total_len), self.pad_id, np.int32)
-    prompt_lens = np.zeros((b,), np.int32)
+    pad_b = 0
+    if self.mesh is not None:
+      n_shards = int(self.mesh.shape[self.data_axis])
+      pad_b = (-b) % n_shards
+    tokens = np.full((b + pad_b, total_len), self.pad_id, np.int32)
+    prompt_lens = np.ones((b + pad_b,), np.int32)  # padding rows: 1-token
     for i, p in enumerate(prompts):
       tokens[i, :len(p)] = p[:total_len]
       prompt_lens[i] = min(len(p), total_len)
-    out = self._step(self.params, jnp.asarray(tokens),
-                     jnp.asarray(prompt_lens),
+    tokens = jnp.asarray(tokens)
+    sharding = self._batch_sharding()
+    if sharding is not None:
+      tokens = jax.device_put(tokens, sharding)
+    out = self._step(self.params, tokens, jnp.asarray(prompt_lens),
                      total_len, self.eos_id)
-    out = np.asarray(out)
+    out = np.asarray(out)[:b]
     results = []
     for i, p in enumerate(prompts):
       gen = out[i, len(p):len(p) + max_new_tokens]

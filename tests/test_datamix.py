@@ -184,3 +184,47 @@ class TestSampler:
     outs = s.sample([[3, 4], [5, 6, 7, 8]], max_new_tokens=4)
     assert len(outs) == 2
     assert all(len(o) <= 4 for o in outs)
+
+  def test_mesh_sharded_cache_matches_single_device(self):
+    """Decode with the KV cache sharded over an 8-device mesh must emit
+    the same tokens as the unsharded sampler (reference analog: the
+    1-D-mesh cache sharding, `deconstructed_sampler.py:157-160`).  Also
+    exercises batch padding: 3 prompts on 8 shards."""
+    cfg = transformer.TransformerConfig(
+        vocab_size=32, d_model=32, n_heads=2, n_layers=2, d_ff=64,
+        max_seq_len=16, remat=False)
+    params = transformer.init_params(jax.random.PRNGKey(2), cfg)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    prompts = [[3, 4], [5, 6, 7], [2, 9]]
+    plain = sampler_lib.Sampler(cfg, params, eos_id=31)
+    sharded = sampler_lib.Sampler(cfg, params, eos_id=31, mesh=mesh)
+    outs_plain = plain.sample(prompts, max_new_tokens=5)
+    outs_sharded = sharded.sample(prompts, max_new_tokens=5)
+    assert outs_plain == outs_sharded
+
+  def test_generation_eval_on_mesh(self):
+    """Generation eval end-to-end with the sharded sampler: compiles and
+    runs on the 8-device mesh, same score as single-device."""
+    from precondition_tpu.datamix.evals import generation_eval
+
+    cfg = transformer.TransformerConfig(
+        vocab_size=32, d_model=32, n_heads=2, n_layers=1, d_ff=64,
+        max_seq_len=16, remat=False)
+    params = transformer.init_params(jax.random.PRNGKey(3), cfg)
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    prompts = [[3, 4, 5], [6, 7], [8, 9, 10], [11, 12]]
+    detok = lambda toks: " ".join(str(t) for t in toks)
+
+    def _eval(mesh_arg):
+      ev = generation_eval.GenerationEval(
+          make_sampler=lambda p: sampler_lib.Sampler(
+              cfg, p, eos_id=31, mesh=mesh_arg),
+          prompts=prompts,
+          answers=["1", "2", "3", "4"],
+          detokenize=detok,
+          max_new_tokens=4,
+          batch_size=3,  # deliberately not a multiple of the mesh size
+      )
+      return ev.evaluate(params)
+
+    assert _eval(None) == _eval(mesh)
