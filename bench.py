@@ -165,6 +165,34 @@ def _param_tree(rng, small=False):
   return tree
 
 
+def device_fixture(small):
+  """(params, grads) for one fixture size, materialized ON DEVICE.
+
+  One jitted PRNG program instead of a host-side numpy tree: the full
+  fixture is ~235 MB of params + 235 MB of grads, and shipping it
+  through the TPU tunnel used to delay the full-fixture phase; the
+  values are random fixture content, so generating them on-chip is
+  equivalent and costs milliseconds.
+  """
+  rng = np.random.RandomState(0)
+  tree_shapes = jax.eval_shape(lambda: _param_tree(rng, small=small))
+  shapes, treedef = jax.tree.flatten(tree_shapes)
+
+  @jax.jit
+  def gen(key):
+    keys = jax.random.split(key, 2 * len(shapes))
+    params = [0.02 * jax.random.normal(k, s.shape, s.dtype)
+              for k, s in zip(keys[:len(shapes)], shapes)]
+    grads = [0.01 * jax.random.normal(k, s.shape, s.dtype)
+             for k, s in zip(keys[len(shapes):], shapes)]
+    return (jax.tree.unflatten(treedef, params),
+            jax.tree.unflatten(treedef, grads))
+
+  params, grads = gen(jax.random.PRNGKey(0))
+  _fence(params)
+  return params, grads
+
+
 HYPERS = dict(
     learning_rate=0.1,
     block_size=128,
@@ -456,13 +484,7 @@ def main():
   # The tiny CI fixture drives the full TPU-path dispatch logic on CPU.
   cpu = platform == "cpu" and not os.environ.get("BENCH_TEST_TINY_FIXTURE")
 
-  def _fixture(small):
-    rng = np.random.RandomState(0)
-    params = _param_tree(rng, small=small)
-    grads = jax.tree.map(
-        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.01, jnp.float32),
-        params)
-    return params, grads
+  _fixture = device_fixture
 
   _RESULT.update({
       # r01's "...17M..." name was a misnomer (the tree is 58.7M params)

@@ -31,10 +31,16 @@ _MS_KEYS = (
     "pallas_cold_ext_ms", "pallas_warm_ext_ms",
     "xla_powerit_ms",
     "xla_cold_m1024_ms", "xla_warm_m1024_ms",
+    # Block-size sweep rows (benchmarks/blocksize_sweep.py).
+    "m256_xla_cold_ms", "m256_xla_warm_ms",
+    "m256_pallas_cold_ms", "m256_pallas_warm_ms",
+    "m512_xla_cold_ms", "m512_xla_warm_ms",
+    "m512_pallas_cold_ms", "m512_pallas_warm_ms",
 )
 # Correctness guards: residuals must stay at solver tolerance.
 _ERR_KEYS = ("xla_cold_err_max", "pallas_cold_err_max",
-             "pallas_warm_err_max")
+             "pallas_warm_err_max",
+             "m256_pallas_cold_err_max", "m512_pallas_cold_err_max")
 _ERR_CEILING = 1e-4
 
 # Step-phase keys from profile_step.py (STEP_BREAKDOWN_TPU.json): a
@@ -44,8 +50,9 @@ _STEP_MS_KEYS = (
     "newton_solve_ms", "eigh_solve_ms", "gram_update_ms",
     "full_step_ms", "full_step_warmstart_ms",
     "step_without_solve_ms", "step_transform_only_ms",
+    "steady_step_ms", "quantized_step_ms",
     "full_step_block256_ms",
-    "tearfree_step_ms", "tearfree_step_newton_ms",
+    "tearfree_step_ms", "tearfree_step_eigh_ms", "tearfree_step_newton_ms",
 )
 
 
