@@ -297,3 +297,38 @@ class TestCodeEval:
         detokenize=lambda toks: programs[toks[0]],
         timeout_s=10.0)
     assert ev.evaluate(params=None) == pytest.approx(0.5)
+
+
+class TestTrajectoryPolicyArtifacts:
+  """Committed trajectory-A/B artifacts must certify the shipped policies.
+
+  The experiments themselves are too slow for CI
+  (benchmarks/{tearfree_backend,pi_policy}_trajectory.py, ~7 min each);
+  these tests pin their committed verdicts so a policy flip without a
+  fresh passing artifact fails loudly.
+  """
+
+  def _load(self, name):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), name)
+    if not os.path.exists(path):
+      pytest.skip(f"{name} not present")
+    import json
+    with open(path) as f:
+      return json.load(f)
+
+  def test_filtered_backend_trajectory_within_noise(self):
+    # The tearfree default ('auto' -> filtered on TPU) is only justified
+    # while the filtered backend tracks eigh within seed noise.
+    art = self._load("TEARFREE_BACKEND_TRAJ.json")
+    assert art["verdict_filtered"] == "agree_within_noise", art[
+        "gap_eigh_vs_filtered"]
+    assert art["gap_eigh_vs_filtered"] <= 3.0 * art[
+        "gap_seed_noise_filtered"]
+
+  def test_loose_pi_policy_trajectory_within_noise(self):
+    # The loose cold power-iteration exit (SOLVE_GAP_PROBE.json) must
+    # hold at the training level, not just on the probe batch.
+    art = self._load("PI_POLICY_TRAJ.json")
+    assert art["verdict"] == "agree_within_noise", art[
+        "gap_tight_vs_loose"]
