@@ -71,8 +71,19 @@ _LN10 = 2.302585092994046
 
 
 def supported(m: int) -> bool:
-  """Whether the fused kernel handles this matrix size."""
-  return 8 <= m <= 512 and m % 8 == 0
+  """Whether the fused kernel handles this matrix size.
+
+  Cap 256, measured (benchmarks/blocksize_sweep.py, KERNELS_TPU.json):
+  at m=512 even the k=1 tile's ~12 live [512,512] f32 buffers plus the
+  double-buffered I/O blocks overflow the ~16 MB VMEM (server compile
+  fails), and at m>=512 XLA's batched while_loop already runs at 21-26
+  TF/s cold (69-83%% of the measured MXU ceiling) — the problem is
+  MXU-bound there, not HBM/latency-bound, so there is little left for a
+  fused kernel to win.  Measured where the kernel IS admitted:
+  m=128 2.6x XLA cold (19.1 TF/s), m=256 2.0x cold (28.3 TF/s, 91%% of
+  ceiling) and 2.7x warm.  `solver_backend="auto"` routes by this gate.
+  """
+  return 8 <= m <= 256 and m % 8 == 0
 
 
 def tile_for(m: int, warm: bool = False) -> int:
