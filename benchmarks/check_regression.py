@@ -50,7 +50,8 @@ _STEP_MS_KEYS = (
     "newton_solve_ms", "eigh_solve_ms", "gram_update_ms",
     "full_step_ms", "full_step_warmstart_ms",
     "step_without_solve_ms", "step_transform_only_ms",
-    "steady_step_ms", "quantized_step_ms",
+    "steady_step_ms",
+    "quantized_step_reduced_ms", "f32_step_reduced_ms",
     "full_step_block256_ms",
     "tearfree_step_ms", "tearfree_step_eigh_ms", "tearfree_step_newton_ms",
 )
