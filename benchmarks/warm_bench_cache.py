@@ -84,9 +84,15 @@ def main():
   ap.add_argument("--reduced-only", action="store_true")
   ap.add_argument("--verify", action="store_true",
                   help="fail unless every compile is a warm cache hit")
-  ap.add_argument("--verify-budget", type=float, default=150.0,
-                  help="per-program wall-clock bound in --verify mode; a "
-                       "warm hit is seconds, a cold compile is 15-25 min")
+  ap.add_argument("--verify-budget", type=float, default=420.0,
+                  help="per-program NET wall-clock bound in --verify mode "
+                       "(verify runs jobs sequentially so timings are net "
+                       "work, not FIFO queueing behind the other ten "
+                       "programs). A warm reload is seconds for ours' "
+                       "programs and 2-6 min for the upstream baseline's "
+                       "multi-hundred-MB executables through the tunnel; a "
+                       "cold compile is 10-50 min (baseline_steady[full] "
+                       "measured 3008 s cold vs 632 s queued-warm).")
   args = ap.parse_args()
 
   names = args.names or list(bench.CANDIDATE_TXS)
@@ -105,7 +111,13 @@ def main():
 
   t_start = time.time()
   timings, failures = {}, {}
-  with concurrent.futures.ThreadPoolExecutor(len(jobs)) as pool:
+  # Verify mode runs SEQUENTIALLY: the PJRT server serializes compiles
+  # anyway, and concurrent submission makes every per-program wall time
+  # include FIFO queueing behind the other programs — a warm run then
+  # "fails" the per-program budget spuriously (observed: the two
+  # baseline full executables at 612/632 s cumulative, ~2-6 min net).
+  workers = 1 if args.verify else len(jobs)
+  with concurrent.futures.ThreadPoolExecutor(workers) as pool:
     futs = {pool.submit(fn): label for fn, label in jobs}
     for fut in concurrent.futures.as_completed(futs):
       label = futs[fut]
@@ -123,8 +135,8 @@ def main():
       "failures": failures,
   }
   if args.verify:
-    # Per-program bound, not just total: parallel threads hide a single
-    # cold compile in the total but not in its own wall-clock.
+    # Per-program NET bound (sequential in verify mode): a single cold
+    # compile shows up in its own wall-clock, never hidden in the total.
     slow = {k: v for k, v in timings.items() if v > args.verify_budget}
     summary["verify_budget_s"] = args.verify_budget
     summary["too_slow"] = slow
